@@ -1,0 +1,123 @@
+"""Spatial preprocessing filters.
+
+Batched equivalents of the reference's OpenCV preprocessing: 2D median filter
+(medianBlur, BscanFFT.cpp:952-956), software binning (resize INTER_AREA,
+BscanFFT.cpp:958), weighted moving average smoothing (smoothmovavg,
+BscanFFT.cpp:247-304), and the spinjnt output B-scan rebinning
+(BscanFFTspinjnt.cpp:1856-1861).
+
+All functions accept arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_moving_average(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """2n+1-point weighted moving average along the last axis.
+
+    x'(p) = ( x(p-n) + ... + 2*x(p) + ... + x(p+n) ) / (2*(n+1)),
+    with the window truncated at the edges and the weight of the *centre*
+    point increased by the number of truncated taps
+    (reference: smoothmovavg, BscanFFT.cpp:247-304).
+
+    Vectorized as: windowed zero-pad sum + (1 + #out-of-range-taps)·x(p),
+    which is algebraically identical to the reference's scalar loop.
+    """
+    if n <= 0:
+        return x
+    L = x.shape[-1]
+    # Sliding-window sum via padded cumulative sum: sum over [p-n, p+n] ∩ [0,L).
+    pad = [(0, 0)] * (x.ndim - 1) + [(n + 1, n)]
+    cs = jnp.cumsum(jnp.pad(x, pad), axis=-1)
+    win_sum = (
+        jax.lax.slice_in_dim(cs, 2 * n + 1, 2 * n + 1 + L, axis=-1)
+        - jax.lax.slice_in_dim(cs, 0, L, axis=-1)
+    )
+    # Out-of-range tap count per position: the reference substitutes x(p)
+    # for each truncated tap (BscanFFT.cpp:287).
+    j = jnp.arange(L)
+    oob = jnp.maximum(0, n - j) + jnp.maximum(0, j + n - (L - 1))
+    oob = oob.astype(x.dtype)
+    return (win_sum + (oob + 1.0) * x) / (2.0 * (n + 1))
+
+
+def median_blur(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """ksize×ksize 2D median filter with replicate borders over the last two
+    axes (reference: medianBlur at BscanFFT.cpp:952-956, applied to the raw
+    integer frame before binning).
+
+    Implemented as a sort over the k² shifted planes — fully vectorized,
+    VPU-friendly; k is 3/5/7 in practice.
+    """
+    if ksize <= 1:
+        return img
+    assert ksize % 2 == 1, "median aperture must be odd"
+    r = ksize // 2
+    pad = [(0, 0)] * (img.ndim - 2) + [(r, r), (r, r)]
+    padded = jnp.pad(img, pad, mode="edge")
+    h, w = img.shape[-2], img.shape[-1]
+    planes = [
+        jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, dy, dy + h, axis=-2), dx, dx + w, axis=-1
+        )
+        for dy in range(ksize)
+        for dx in range(ksize)
+    ]
+    stacked = jnp.stack(planes, axis=0)
+    med = jnp.sort(stacked, axis=0)[(ksize * ksize) // 2]
+    return med
+
+
+def bin_area(img: jnp.ndarray, bx: int, by: int | None = None) -> jnp.ndarray:
+    """Integer-factor software binning = block averaging over the last two
+    axes (reference: ``resize(m, opm, Size(), 1/binvalue, 1/binvalue,
+    INTER_AREA)`` at BscanFFT.cpp:958 — for integer factors INTER_AREA is
+    exactly the block mean).
+
+    Integer inputs are rounded back to the input dtype, matching OpenCV's
+    saturating integer resize (half-away-from-zero rounding).
+    """
+    by = bx if by is None else by
+    if bx == 1 and by == 1:
+        return img
+    *lead, h, w = img.shape
+    assert h % by == 0 and w % bx == 0, (
+        f"frame {h}x{w} not divisible by bin {by}x{bx}"
+    )
+    blocks = img.reshape(*lead, h // by, by, w // bx, bx)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        mean = blocks.astype(jnp.float32).mean(axis=(-3, -1))
+        return jnp.round(mean).astype(img.dtype)
+    return blocks.mean(axis=(-3, -1))
+
+
+def resize_area(img: jnp.ndarray, fx: int, fy: int) -> jnp.ndarray:
+    """Alias of :func:`bin_area` with (fx, fy) downscale factors."""
+    return bin_area(img, fx, fy)
+
+
+def resize_bicubic(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bicubic upsampling over the last two axes.
+
+    Used by the spinjnt output-B-scan rebinning path: down-resize INTER_AREA
+    then up-resize INTER_CUBIC back to the display size
+    (reference: BscanFFTspinjnt.cpp:1856-1861).  Uses jax.image's Keys cubic
+    kernel (a=-0.5; OpenCV uses a=-0.75 — display-equivalent).
+    """
+    out_shape = img.shape[:-2] + (out_h, out_w)
+    return jax.image.resize(img, out_shape, method="cubic")
+
+
+def bscan_rebin(bscan: jnp.ndarray, binx: int, biny: int,
+                multiplyfactor: float = 1.0) -> jnp.ndarray:
+    """spinjnt output B-scan binning: INTER_AREA downscale by (binx, biny),
+    scale by ``multiplyfactor``, then bicubic upscale back to the original
+    size (reference: BscanFFTspinjnt.cpp:1856-1861)."""
+    if binx == 1 and biny == 1:
+        return bscan
+    h, w = bscan.shape[-2], bscan.shape[-1]
+    down = bin_area(bscan, binx, biny)
+    return resize_bicubic(down * multiplyfactor, h, w)

@@ -1,0 +1,170 @@
+"""The jit-compiled frame→B-scan reconstruction pipeline.
+
+Functional re-expression of the reference hot loop (BscanFFT.cpp:946-1925):
+
+    raw frame → [median] → bin → float → [moving average]      (preprocess)
+    → (y - data_yp)/data_yb                                    (apodize_ratio)
+    → per-row DC removal → ×window → [zero-pad ×mult]
+    → λ→k resample → |IFFT|[:ndisp]                            (ascan_mags_*)
+    → Σ over frames → transpose → ÷N → dB → display pipeline   (form_bscan)
+
+Two device paths produce the A-scan magnitudes:
+
+- ``method="gather"`` — step-by-step ops, bit-compatible with the reference
+  loops; used for parity tests and as the fallback.
+- ``method="fused"``  — one complex matmul against the precomputed linear
+  operator (see calibration.py), the MXU speed path.
+
+Frames carry shape (..., oph, opw): rows are lateral A-scan positions,
+columns are wavelength samples; output B-scans are (depth, lateral).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fdoct_tpu.calibration import Calibration
+from fdoct_tpu.config import PipelineConfig
+from fdoct_tpu.ops import (
+    bin_area, ifft_mag_rows, median_blur, normalize_minmax, normalize_rows,
+    resample_klinear, smooth_moving_average, to_db, to_uint8, zeropad_rowwise,
+    threshold_floor,
+)
+from fdoct_tpu.ops.scale import clamp_pixel, mask_dc_rows
+
+
+class BscanOutputs(NamedTuple):
+    """Per-average-group outputs mirroring the reference display chain."""
+    bscan: jnp.ndarray      # linear magnitudes, (depth=ndisp, lateral=oph)
+    bscandb: jnp.ndarray    # dB, DC rows masked (BscanFFT.cpp:1235-1240)
+    bscandisp: jnp.ndarray  # uint8 display image after threshold+normalize
+
+
+# ---------------------------------------------------------------------------
+
+
+def preprocess(raw: jnp.ndarray, cfg: PipelineConfig, dtype=None) -> jnp.ndarray:
+    """Raw integer frame → binned float spectra (reference:
+    BscanFFT.cpp:952-991: medianBlur, resize INTER_AREA, convertTo CV_64F,
+    smoothmovavg)."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    x = raw
+    if cfg.mediann > 0:
+        x = median_blur(x, cfg.mediann)
+    bx = max(cfg.binvalue, cfg.binvaluex)
+    by = max(cfg.binvalue, cfg.binvaluey)
+    x = bin_area(x, bx, by)
+    y = x.astype(dtype)
+    if cfg.movavgn > 0:
+        y = smooth_moving_average(y, cfg.movavgn)
+    return y
+
+
+def apodize_ratio(y: jnp.ndarray, background: jnp.ndarray,
+                  pi_frame: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+    """(y - data_yp) / data_yb with the optional input normalizations
+    (reference: BscanFFT.cpp:1123-1132)."""
+    if cfg.rowwisenormalize:
+        y = normalize_rows(y, 0.0, 1.0)
+    if not cfg.donotnormalize:
+        y = normalize_minmax(y, 0.0, 1.0)
+    return (y - pi_frame) / background
+
+
+def linearize(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
+    """DC removal + window + zero-pad + λ→k resample (reference:
+    BscanFFT.cpp:1135-1177), gather path."""
+    y = yr - jnp.mean(yr, axis=-1, keepdims=True)
+    y = y * calib.window
+    y = zeropad_rowwise(y, calib.mult, calib.bandpassfilter)
+    return resample_klinear(y, calib.nearest_idx, calib.frac, compat=calib.compat)
+
+
+def ascan_mags_gather(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
+    """Step-by-step A-scan magnitudes, truncated to the display depth
+    (reference: BscanFFT.cpp:1181-1195).  Applies the dispersion phase
+    explicitly when the calibration carries one (static flag)."""
+    ylin = linearize(yr, calib)
+    mag = ifft_mag_rows(ylin, calib.phase if calib.has_phase else None)
+    return mag[..., : calib.ndisp]
+
+
+def ascan_mags_fused(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
+    """A-scan magnitudes as one complex matmul |yr @ M| on the MXU.
+
+    M composes DC-removal, window, zero-pad, resample, dispersion and the
+    truncated unnormalized IDFT (calibration.Calibration.create).
+    """
+    re = jnp.matmul(yr, calib.op_re, preferred_element_type=yr.dtype)
+    im = jnp.matmul(yr, calib.op_im, preferred_element_type=yr.dtype)
+    return jnp.sqrt(re * re + im * im)
+
+
+def ascan_mags(yr: jnp.ndarray, calib: Calibration, method: str = "fused") -> jnp.ndarray:
+    if method == "fused":
+        return ascan_mags_fused(yr, calib)
+    if method == "gather":
+        return ascan_mags_gather(yr, calib)
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "dtype"))
+def reconstruct(raw_frames: jnp.ndarray, background: jnp.ndarray,
+                pi_frame: jnp.ndarray, calib: Calibration,
+                cfg: PipelineConfig, method: str = "fused",
+                dtype=None) -> jnp.ndarray:
+    """Full raw→magnitudes path for a batch of frames.
+
+    raw_frames: (..., oph*bin, opw*bin) raw integers (or floats).
+    Returns (..., oph, ndisp) A-scan magnitude stacks.
+    """
+    y = preprocess(raw_frames, cfg, dtype)
+    yr = apodize_ratio(y, background, pi_frame, cfg)
+    return ascan_mags(yr, calib, method)
+
+
+@partial(jax.jit, static_argnames=("cfg", "averages"))
+def form_bscan(mag_sum: jnp.ndarray, cfg: PipelineConfig,
+               averages: int = 1,
+               bscanthreshold: float | jnp.ndarray | None = None) -> BscanOutputs:
+    """Accumulated magnitudes → displayed B-scan (reference:
+    BscanFFT.cpp:1211-1255).
+
+    mag_sum: (oph, ndisp) sum over ``averages`` frames (the reference's
+    ``bscantransposed``).  Returns linear, dB and uint8-display images,
+    all (depth, lateral).
+    """
+    thresh = cfg.bscanthreshold if bscanthreshold is None else bscanthreshold
+    bscan = mag_sum.T / averages                      # transpose, ÷N (1220-1221)
+    bscan = bscan + 1e-5                              # log guard (1222)
+    bscandb = to_db(bscan, eps=0.0, compat=cfg.compat)  # 20·ln/2.303 (1235-1237)
+    bscandb = mask_dc_rows(bscandb)                   # rows 0,1 ← row 4 (1239-1240)
+    disp = threshold_floor(bscandb, thresh)           # display floor (1247)
+    if cfg.clampupper:
+        disp = clamp_pixel(disp, cfg.clampupperdb)    # absolute-scale pixel (1252)
+    disp = normalize_minmax(disp, 0.0, 1.0)           # (1254)
+    return BscanOutputs(bscan=bscan, bscandb=bscandb, bscandisp=to_uint8(disp))
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "averages", "dtype"))
+def reconstruct_bscan(raw_frames: jnp.ndarray, background: jnp.ndarray,
+                      pi_frame: jnp.ndarray, calib: Calibration,
+                      cfg: PipelineConfig, method: str = "fused",
+                      averages: int | None = None, dtype=None) -> BscanOutputs:
+    """Batch of raw frames → one averaged, displayed B-scan.
+
+    The one-call equivalent of ``averages`` iterations of the reference hot
+    loop followed by its display block.
+    """
+    mags = reconstruct(raw_frames, background, pi_frame, calib, cfg, method, dtype)
+    n = averages if averages is not None else (
+        raw_frames.shape[0] if raw_frames.ndim == 3 else 1)
+    mag_sum = mags.sum(axis=0) if mags.ndim == 3 else mags
+    return form_bscan(mag_sum, cfg, n)

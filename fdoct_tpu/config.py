@@ -276,6 +276,10 @@ def write_ini(cfg: PipelineConfig, path: str | Path, variant: str = "base") -> N
             lines.append(str(int(val)))
         elif typ is float:
             lines.append(repr(float(val)))
+        elif typ is str:
+            # the whitespace-token wire format cannot carry empty strings;
+            # the reference uses "_" as its empty dirdescr (BscanFFT.cpp:398)
+            lines.append(str(val) if str(val) else "_")
         else:
             lines.append(str(val))
         if i != len(schema) - 1:

@@ -1,0 +1,428 @@
+"""Interactive session layer: the keystroke state machine as explicit state.
+
+The reference's acquisition loop mixes compute with a single-key command
+dispatch (``waitKey(3)`` switch, BscanFFT.cpp:1584-1917) and capture logic
+scattered through the hot loop (background 'b' BscanFFT.cpp:1000-1075,
+π/J0 'p' 1077-1099, J-lockin 'j'/'c' 1292-1304, save 's' 1307-1397, manual
+averaging 1399-1477, double ring buffers 1482-1488; BscanDark adds dark /
+reference-arm / sample-arm captures 'o'/'r'/'t', BscanDark.cpp:1005-1221).
+
+Here all of that is a :class:`Session` object: device state lives in jax
+arrays, control state in plain fields, and one :meth:`process` call per raw
+frame performs exactly one reference loop iteration.  Keys arrive through
+:meth:`key` with the reference's bindings (keyboardshortcuts.txt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from fdoct_tpu.calibration import Calibration
+from fdoct_tpu.config import PipelineConfig
+from fdoct_tpu.ops import (
+    lowpass_rowwise, make_only_positive, normalize_minmax, normalize_rows,
+    to_db, to_uint8, threshold_floor,
+)
+from fdoct_tpu.ops.filters import bscan_rebin
+from fdoct_tpu.ops.scale import clamp_pixel
+from fdoct_tpu.pipeline import ascan_mags, apodize_ratio, form_bscan, preprocess
+from fdoct_tpu.sinks import RunWriter
+
+
+@dataclasses.dataclass
+class BscanResult:
+    """Outputs of one completed averaging group (one displayed B-scan)."""
+    bscan: np.ndarray             # linear, (ndisp, oph)
+    bscandb: np.ndarray           # dB with DC rows masked
+    bscandisp: np.ndarray         # uint8 display
+    index: int                    # group counter
+    sub_disp: np.ndarray | None = None      # J-lockin subtracted display
+    manual_disp: np.ndarray | None = None   # manual-average display
+    status: list[str] = dataclasses.field(default_factory=list)
+
+
+class Session:
+    """One live/replay reconstruction session.
+
+    Parameters
+    ----------
+    cfg : pipeline configuration (immutable; runtime-adjustable quantities
+        like exposure/threshold/averaging live on the session).
+    variant : 'base' | 'sim' | 'dark' | 'peak' — enables the per-variant key
+        handlers and processing (SURVEY.md §2.1).
+    sink : optional RunWriter for 's'-key saves.
+    camera : optional control callback ``camera(param: str, value)`` for
+        exposure/gain changes (the QHY SetQHYCCDParam seam,
+        BscanFFT.cpp:1600).
+    source : optional FrameSource; when given, 'b'/'p' captures in sim
+        variant pull the dedicated background/π images the way BscanFFTsim
+        reads backg.png / piimgi.png (BscanFFTsim.cpp:806-825).
+    """
+
+    def __init__(self, cfg: PipelineConfig, variant: str = "base",
+                 sink: RunWriter | None = None,
+                 camera: Callable[[str, Any], None] | None = None,
+                 source: Any = None, method: str = "fused",
+                 calib: Calibration | None = None):
+        self.cfg = cfg
+        self.variant = variant
+        self.sink = sink
+        self.camera = camera
+        self.source = source
+        self.method = method
+        self.calib = calib or Calibration.create(cfg)
+        dt = jnp.dtype(cfg.dtype)
+        oph, opw, ndisp = cfg.oph, cfg.opw, self.calib.ndisp
+
+        # --- device state (the reference's Mats) ---
+        self.data_yb = jnp.ones((oph, opw), dt)       # background S(k)
+        self.data_yp = jnp.zeros((oph, opw), dt)      # π / J0 spectrum
+        self.data_yd = jnp.zeros((oph, opw), dt)      # dark (BscanDark)
+        self.data_yr = jnp.zeros((oph, opw), dt)      # reference arm
+        self.data_ys = jnp.zeros((oph, opw), dt)      # sample arm
+        self.accum = jnp.zeros((oph, ndisp), dt)      # bscantransposed
+        self.baccum = jnp.zeros((oph, opw), dt)
+        self.manualaccum = jnp.zeros((ndisp, oph), dt)
+        self.jscansave: jnp.ndarray | None = None
+
+        # --- control state (the reference's flags/counters) ---
+        self.averages = cfg.averages
+        self.averagestoggle = cfg.averages            # BscanFFT.cpp:481
+        self.bscanthreshold = cfg.bscanthreshold
+        self.exposure_us = cfg.exposure_us
+        self.gain = cfg.gain
+        self.ascanat = 20                             # BscanFFT.cpp:362
+        self.vertposROI = 10
+        self.widthROI = 10
+        self.clampupper = cfg.clampupper
+        self.ROIreport = False
+        self.jlockin = False
+        self.done = False
+        self.indextemp = 0
+        self.indexi = 0                               # save counter
+        self.manualindexi = 0
+        self.baccumcount = 0
+        self.manualaccumcount = 0
+        self.zeroisactive = True                      # ring-buffer toggle
+        self._pending: set[str] = set()
+        self._dark_counts = {"dark": 0, "ref": 0, "sample": 0}
+        self._dark_accum: dict[str, jnp.ndarray] = {}
+
+        # double ring buffers (BscanFFT.cpp:569-583): per-frame B-scans and
+        # raw interferograms for the save-after-the-fact story
+        self._rings = {0: {"bscan": [], "raw": [], "binned": []},
+                       1: {"bscan": [], "raw": [], "binned": []}}
+        self.plugins: list[Any] = []
+        self.status: list[str] = []
+
+    # ------------------------------------------------------------------
+    # key dispatch (reference: BscanFFT.cpp:1584-1917, keyboardshortcuts.txt)
+    # ------------------------------------------------------------------
+
+    _EXPOSURE_KEYS = {"+": 100, "=": 100, "-": -100, "_": -100,
+                      "u": 1000, "d": -1000, "U": 10000, "D": -10000}
+
+    def key(self, ch: str) -> None:
+        """Apply one keypress.  Unknown keys are ignored (default: break)."""
+        cfg = self.cfg
+        if ch in ("\x1b", "x", "X"):
+            self.done = True
+        elif ch in self._EXPOSURE_KEYS:
+            self.exposure_us = max(0, self.exposure_us + self._EXPOSURE_KEYS[ch])
+            if self.camera:
+                self.camera("exposure", self.exposure_us)
+            self._say(f"Exp time = {self.exposure_us} ")
+        elif ch in ("s", "S", " "):
+            self._pending.add("s")
+        elif ch in ("b", "B"):
+            self._pending.add("b")
+        elif ch in ("p", "P"):
+            self._pending.add("p")
+        elif ch in ("j", "J"):
+            self._pending.add("j")
+        elif ch in ("c", "C"):
+            self._pending.add("c")
+        elif ch == "]":
+            self.bscanthreshold += 1.0
+            self._say(f"bscanthreshold = {self.bscanthreshold:f}")
+        elif ch == "[":
+            self.bscanthreshold -= 1.0
+            self._say(f"bscanthreshold = {self.bscanthreshold:f}")
+        elif ch == "(":
+            if self.ascanat > 10:
+                self.ascanat -= 10
+            self._say(f"ascanat = {self.ascanat}")
+        elif ch == "9":
+            if self.ascanat > 0:
+                self.ascanat -= 1
+            self._say(f"ascanat = {self.ascanat}")
+        elif ch == ")":
+            if self.ascanat < cfg.oph - 11:
+                self.ascanat += 10
+            self._say(f"ascanat = {self.ascanat}")
+        elif ch == "0":
+            if self.ascanat < cfg.oph - 1:
+                self.ascanat += 1
+            self._say(f"ascanat = {self.ascanat}")
+        elif ch == "W":
+            if self.ascanat + self.widthROI < cfg.oph - 1:
+                self.widthROI += 1
+            self._say(f"ROI width = {self.widthROI}")
+        elif ch == "w":
+            if self.widthROI > 2:
+                self.widthROI -= 1
+            self._say(f"ROI width = {self.widthROI}")
+        elif ch == "h":
+            if self.vertposROI < self.calib.ndisp - 1:
+                self.vertposROI += 1
+            self._say(f"ROI vertical position = {self.vertposROI}")
+        elif ch == "H":
+            if self.vertposROI > 2:
+                self.vertposROI -= 1
+            self._say(f"ROI vertical position = {self.vertposROI}")
+        elif ch in ("a", "A"):
+            self.averagestoggle = (self.averages if self.averagestoggle == 1 else 1)
+            self._say(f"Now averaging {self.averagestoggle} bscans.")
+        elif ch in ("e", "E"):
+            self.ROIreport = not self.ROIreport
+        elif ch in ("q", "Q"):
+            self.clampupper = not self.clampupper
+        elif self.variant == "dark" and ch in ("o", "O"):
+            self._pending.add("dark")            # BscanDark.cpp 'o' key
+        elif self.variant == "dark" and ch in ("r", "R"):
+            self._pending.add("ref")
+        elif self.variant == "dark" and ch in ("t", "T"):
+            self._pending.add("sample")
+        else:
+            for plugin in self.plugins:
+                if plugin.key(self, ch):
+                    return
+
+    def _say(self, text: str) -> None:
+        self.status.append(text)
+        if len(self.status) > 100:
+            del self.status[:50]
+
+    # ------------------------------------------------------------------
+    # per-frame processing (one reference hot-loop iteration)
+    # ------------------------------------------------------------------
+
+    def process(self, raw: np.ndarray) -> BscanResult | None:
+        cfg = self.cfg
+        y = preprocess(jnp.asarray(raw), cfg)
+
+        # active ring fills during the current group; the inactive ring still
+        # holds the previous group for after-the-fact saves (BscanFFT.cpp:961-984)
+        ring = self._rings[0 if self.zeroisactive else 1]
+        if cfg.saveinterferograms:
+            ring["raw"].append(np.asarray(raw))
+            ring["binned"].append(np.asarray(y))
+
+        self._handle_captures(raw, y)
+
+        # apodize + A-scan magnitudes
+        yw = y - self.data_yd if self.variant == "dark" else y  # BscanDark.cpp:1269
+        yr = apodize_ratio(yw, self.data_yb, self.data_yp, cfg)
+        mags = ascan_mags(yr, self.calib, self.method)
+
+        # accumulate (BscanFFT.cpp:1193-1209)
+        self.accum = self.accum + mags
+        if cfg.saveframes:
+            ring["bscan"].append(np.asarray(mags))
+        self.indextemp += 1
+        if self.indextemp < self.averagestoggle:
+            return None
+        return self._finish_group()
+
+    # ------------------------------------------------------------------
+    def _capture_background(self, y: jnp.ndarray) -> None:
+        """'b' background accumulation (BscanFFT.cpp:1000-1075)."""
+        cfg = self.cfg
+        if self.baccumcount < self.averagestoggle:
+            self.baccum = self.baccum + y
+            self.baccumcount += 1
+        if self.baccumcount >= self.averagestoggle:
+            yb = self.baccum
+            if cfg.rowwisenormalize:
+                yb = normalize_rows(yb, 0.0001, 1.0)
+            if not cfg.donotnormalize:
+                yb = normalize_minmax(yb, 0.0001, 1.0)
+            else:
+                yb = yb / self.averagestoggle
+            self.data_yb = yb
+            self._pending.discard("b")
+            self.baccumcount = 0
+            self.baccum = jnp.zeros_like(self.baccum)
+            self._say("S(k) saved.")
+            if cfg.manualaveraging:
+                self.averagestoggle = 1              # BscanFFT.cpp:1070-1073
+
+    def _handle_captures(self, raw, y) -> None:
+        cfg = self.cfg
+        if "b" in self._pending:
+            if self.variant == "sim" and self.source is not None:
+                # sim reads the dedicated background image (BscanFFTsim.cpp:806)
+                bg = preprocess(jnp.asarray(self.source.background()), cfg)
+                self.data_yb = bg.astype(self.data_yb.dtype)
+                self._pending.discard("b")
+                self._say("S(k) saved.")
+            else:
+                self._capture_background(y)
+        if "p" in self._pending:
+            if self.variant == "sim" and self.source is not None:
+                pi = preprocess(jnp.asarray(self.source.pi_frame()), cfg)
+                self.data_yp = pi.astype(self.data_yp.dtype)
+            else:
+                yp = y
+                if cfg.rowwisenormalize:
+                    yp = normalize_rows(yp, 0.0, 1.0)
+                if not cfg.donotnormalize:
+                    yp = normalize_minmax(yp, 0.0, 1.0)
+                self.data_yp = yp
+            self._pending.discard("p")
+        for arm in ("dark", "ref", "sample"):
+            if arm in self._pending:
+                self._capture_arm(arm, y)
+
+    def _capture_arm(self, arm: str, y: jnp.ndarray) -> None:
+        """BscanDark 'o'/'r'/'t' averaged captures + background composition
+        (BscanDark.cpp:1005-1221: each arm averaged over averagestoggle
+        frames, optional low-pass; then data_yb = (data_yr - data_yd) +
+        (data_ys - data_yd), BscanDark.cpp:996)."""
+        acc = self._dark_accum.get(arm)
+        self._dark_accum[arm] = y if acc is None else acc + y
+        self._dark_counts[arm] += 1
+        if self._dark_counts[arm] >= self.averagestoggle:
+            avg = self._dark_accum[arm] / self.averagestoggle
+            if self.cfg.lowpassfilter:
+                avg = lowpass_rowwise(avg)
+            setattr(self, {"dark": "data_yd", "ref": "data_yr",
+                           "sample": "data_ys"}[arm], avg)
+            self._pending.discard(arm)
+            self._dark_counts[arm] = 0
+            del self._dark_accum[arm]
+            self._say(f"{arm} arm saved.")
+            self.data_yb = (self.data_yr - self.data_yd) + (self.data_ys - self.data_yd)
+            # guard against divide-by-zero before any capture
+            self.data_yb = jnp.where(self.data_yb == 0, 1.0, self.data_yb)
+
+    # ------------------------------------------------------------------
+    def _finish_group(self) -> BscanResult:
+        """Group-complete block (BscanFFT.cpp:1211-1488)."""
+        cfg = self.cfg
+        self.indextemp = 0
+        mag_sum = self.accum
+        if cfg.bscanbinx > 1 or cfg.bscanbiny > 1:
+            # spinjnt output rebinning acts on the linear bscan
+            bscan_lin = mag_sum.T / self.averagestoggle
+            bscan_lin = bscan_rebin(bscan_lin, cfg.bscanbinx, cfg.bscanbiny,
+                                    cfg.multiplyfactor)
+            mag_sum = bscan_lin.T * self.averagestoggle
+        out = form_bscan(mag_sum, cfg, self.averagestoggle,
+                         bscanthreshold=self.bscanthreshold)
+        bscan_np = np.asarray(out.bscan)
+        result = BscanResult(
+            bscan=bscan_np, bscandb=np.asarray(out.bscandb),
+            bscandisp=np.asarray(out.bscandisp), index=self.indexi,
+        )
+
+        # J-lockin subtraction (BscanFFT.cpp:1225-1232, 1257-1282)
+        sub_db = None
+        if self.jlockin and self.jscansave is not None:
+            jdiff = out.bscan - self.jscansave
+            positive = make_only_positive(jdiff) + 0.001
+            sub_db = to_db(positive, eps=0.0, compat=cfg.compat)
+            disp = threshold_floor(sub_db, self.bscanthreshold)
+            disp = normalize_minmax(disp, 0.0, 1.0)
+            result.sub_disp = np.asarray(to_uint8(disp))
+            if self.sink is not None:
+                self.manualindexi += 1
+                self.sink.save_data(f"bscansub{self.manualindexi:03d}",
+                                    np.asarray(sub_db))
+                self.sink.save_image(f"bscansub{self.manualindexi:03d}",
+                                     result.sub_disp)
+                self.sink.save_colormapped(f"bscansubc{self.manualindexi:03d}",
+                                           result.sub_disp)
+
+        # 'j' / 'c' handled at group boundary (BscanFFT.cpp:1292-1304)
+        if "j" in self._pending:
+            self.jscansave = out.bscan
+            self.jlockin = True
+            self._pending.discard("j")
+        if "c" in self._pending:
+            self.jlockin = False
+            self._pending.discard("c")
+
+        if "s" in self._pending:
+            self._save_group(result)
+            self._pending.discard("s")
+
+        for plugin in self.plugins:
+            plugin.on_bscan(self, result)
+
+        # reset + toggle ring buffers (BscanFFT.cpp:1482-1488)
+        self.accum = jnp.zeros_like(self.accum)
+        self.zeroisactive = not self.zeroisactive
+        new_ring = self._rings[0 if self.zeroisactive else 1]
+        new_ring["bscan"].clear()
+        new_ring["raw"].clear()
+        new_ring["binned"].clear()
+        return result
+
+    # ------------------------------------------------------------------
+    def _save_group(self, result: BscanResult) -> None:
+        """'s' key: save displayed B-scan + per-frame/raw extras
+        (BscanFFT.cpp:1307-1397) and manual averaging (1399-1477)."""
+        cfg = self.cfg
+        if self.sink is None:
+            return
+        self.indexi += 1
+        i = self.indexi
+        self.sink.save_data(f"bscan{i:03d}", result.bscandb)
+        self.sink.save_image(f"bscan{i:03d}", result.bscandisp)
+        self.sink.save_colormapped(f"bscanc{i:03d}", result.bscandisp)
+        self._say(f"bscan{i:03d} saved.")
+        result.index = i
+
+        if self.jlockin and self.jscansave is not None:
+            self.sink.save_data(f"jscan{i:03d}", np.asarray(self.jscansave))
+
+        inactive = self._rings[1 if self.zeroisactive else 0]
+        if cfg.saveinterferograms:
+            for ii, frame in enumerate(inactive["raw"]):
+                self.sink.save_image(f"rawframe{i:03d}-{ii:03d}", frame)
+        if cfg.saveframes:
+            for ii, mags in enumerate(inactive["bscan"]):
+                # per-frame bscans: transpose, +eps, dB, normalize, u8
+                b = jnp.asarray(mags).T + 1e-6
+                db = to_db(b, eps=0.0, compat=cfg.compat)
+                u8 = to_uint8(normalize_minmax(db, 0.0, 1.0))
+                self.sink.save_image(f"bscan{i:03d}-{ii:03d}", np.asarray(u8))
+
+        if cfg.manualaveraging:
+            if self.manualaccumcount < cfg.manualaverages:
+                self.manualaccum = self.manualaccum + jnp.asarray(result.bscan)
+                self.manualaccumcount += 1
+            else:
+                self.manualaccumcount = 0
+                acc = self.manualaccum / cfg.manualaverages
+                db = to_db(acc, eps=0.0, compat=cfg.compat)
+                disp = threshold_floor(db, self.bscanthreshold)
+                disp = normalize_minmax(disp, 0.0, 1.0)
+                u8 = np.asarray(to_uint8(disp))
+                result.manual_disp = u8
+                self.manualindexi += 1
+                mi = self.manualindexi
+                self.sink.save_data(f"bscanman{mi:03d}", np.asarray(acc))
+                self.sink.save_image(f"bscanman{mi:03d}", u8)
+                self.sink.save_colormapped(f"bscanmanc{mi:03d}", u8)
+                self.manualaccum = jnp.zeros_like(self.manualaccum)
+
+    def close(self) -> None:
+        if self.sink is not None:
+            self.sink.parameter_footer(self.cfg, self.bscanthreshold)
+            self.sink.close()

@@ -51,6 +51,36 @@ def interferogram(lambdas: np.ndarray, depths_m, reflectivities,
     return S * np.abs(field) ** 2
 
 
+def interferogram_timeavg(lambdas: np.ndarray, depths_m, reflectivities,
+                          vib_amp_m, ns: float = 1.0, r_ref: float = 1.0,
+                          lambda0: float = 850e-9, dlambda: float = 20e-9
+                          ) -> np.ndarray:
+    """Camera-integrated interferogram with sinusoidally vibrating scatterers.
+
+    With exposure ≫ vibration period, each cross term's fringe is multiplied
+    by J0(2·k·A) for the vibrating scatterer's amplitude A (the lock-in
+    physics the BscanFFTpeak vibrometry inverts, BscanFFTpeak.cpp:615-624):
+    ⟨cos(2kz + 2kA·sinωt)⟩_t = J0(2kA)·cos(2kz).  Self terms are unmodulated.
+    """
+    from scipy.special import j0
+
+    S = source_psd(lambdas, lambda0, dlambda)
+    depths = np.atleast_1d(np.asarray(depths_m, float))
+    refl = np.atleast_1d(np.asarray(reflectivities, float))
+    amps = np.broadcast_to(np.atleast_1d(np.asarray(vib_amp_m, float)),
+                           depths.shape)
+    k = 2 * np.pi / lambdas
+    I = np.full(lambdas.shape, r_ref**2 + np.sum(refl**2))
+    bessel = [j0(2 * k * a) for a in amps]
+    for j, (zj, rj) in enumerate(zip(depths, refl)):
+        I = I + 2 * r_ref * rj * bessel[j] * np.cos(2 * k * ns * zj)
+    for i in range(len(depths)):
+        for j in range(i + 1, len(depths)):
+            I = I + (2 * refl[i] * refl[j] * bessel[i] * bessel[j]
+                     * np.cos(2 * k * ns * (depths[i] - depths[j])))
+    return S * I
+
+
 def staircase_phantom(h: int = 960, w: int = 1280, lambda0: float = 850e-9,
                       dlambda: float = 20e-9, rs: tuple[float, float] = (0.5, 0.5),
                       ns: float = 1.0, quantize: bool = True
@@ -91,12 +121,11 @@ def staircase_phantom(h: int = 960, w: int = 1280, lambda0: float = 850e-9,
 class SyntheticSource:
     """Continuous synthetic frame stream (the hardware-free live camera).
 
-    Adds optional shot noise and a per-frame random phase jitter of a
-    vibrating scatterer so streaming/averaging/vibrometry paths can be
-    exercised end-to-end without hardware.  ``vibration_amp_nm`` modulates
-    scatterer 0's depth sinusoidally with random phase per frame — the
-    time-averaged fringe amplitude then carries the Bessel-J0(2kA) factor
-    the vibrometry plugin inverts (BscanFFTpeak.cpp:243-395 physics).
+    Adds optional per-frame noise, and models a sinusoidally vibrating
+    scatterer 0 via camera time-integration: with ``vibration_amp_nm`` set,
+    the fringe carries the Bessel-J0(2kA) attenuation the vibrometry plugin
+    inverts (see :func:`interferogram_timeavg`;
+    BscanFFTpeak.cpp:243-395 physics).
     """
 
     height: int = 960
@@ -113,6 +142,13 @@ class SyntheticSource:
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
         self._lambdas = wang_lambda_grid(self.width, self.lambda0, self.dlambda)
+        # fixed intensity scale from the still frame: a real camera's counts
+        # track absolute intensity, so a vibrating (J0-attenuated) frame must
+        # NOT be re-normalized to its own max or the dB drop washes out
+        I0 = interferogram(self._lambdas, np.asarray(self.depths_um, float) * 1e-6,
+                           self.reflectivities, r_ref=1.0,
+                           lambda0=self.lambda0, dlambda=self.dlambda)
+        self._scale = I0.max()
 
     @property
     def _maxval(self) -> int:
@@ -122,22 +158,26 @@ class SyntheticSource:
         x = np.clip(x01, 0.0, 1.0) * self._maxval
         return np.round(x).astype(np.uint8 if self.bpp <= 8 else np.uint16)
 
-    def _frame(self, r_ref: float, phase_t: float | None = None) -> np.ndarray:
+    def _frame(self, r_ref: float) -> np.ndarray:
         depths = np.asarray(self.depths_um, float) * 1e-6
-        if self.vibration_amp_nm and phase_t is not None:
-            depths = depths.copy()
-            depths[0] += self.vibration_amp_nm * 1e-9 * np.sin(phase_t)
-        I = interferogram(self._lambdas, depths, self.reflectivities,
-                          r_ref=r_ref, lambda0=self.lambda0, dlambda=self.dlambda)
-        img = np.tile(I / I.max(), (self.height, 1))
+        if self.vibration_amp_nm:
+            amps = np.zeros_like(depths)
+            amps[0] = self.vibration_amp_nm * 1e-9
+            I = interferogram_timeavg(self._lambdas, depths, self.reflectivities,
+                                      amps, r_ref=r_ref, lambda0=self.lambda0,
+                                      dlambda=self.dlambda)
+        else:
+            I = interferogram(self._lambdas, depths, self.reflectivities,
+                              r_ref=r_ref, lambda0=self.lambda0,
+                              dlambda=self.dlambda)
+        img = np.tile(I / self._scale, (self.height, 1))
         if self.noise:
             img = img + self._rng.normal(0.0, self.noise, img.shape)
         return self._quant(img)
 
     def frames(self) -> Iterator[np.ndarray]:
         while True:
-            ph = self._rng.uniform(0, 2 * np.pi) if self.vibration_amp_nm else None
-            yield self._frame(+1.0, ph)
+            yield self._frame(+1.0)
 
     def background(self) -> np.ndarray:
         S = source_psd(self._lambdas, self.lambda0, self.dlambda)

@@ -28,7 +28,7 @@ def write_xml(path: str | Path, mats: dict[str, np.ndarray],
         if arr.ndim == 1:
             arr = arr[None, :]
         dt = _DT_INV[arr.dtype]
-        vals = " ".join(repr(v) if arr.dtype.kind == "f" else str(v)
+        vals = " ".join(f"{float(v):.17g}" if arr.dtype.kind == "f" else str(int(v))
                         for v in arr.ravel())
         out.append(
             f'<{name} type_id="opencv-matrix">\n'

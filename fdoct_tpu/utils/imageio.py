@@ -40,7 +40,7 @@ def write_png(path: str | Path, arr: np.ndarray) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if arr.ndim == 2 and arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
+        Image.fromarray(arr).save(path)  # PIL infers I;16 for uint16
     elif arr.ndim == 2:
         Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
     else:

@@ -1,0 +1,113 @@
+"""Sharded reconstruction steps (shard_map + explicit collectives).
+
+Layouts:
+- raw frame batches  (B, H, W):  P('data', 'ascan', None)
+- calibration tables: replicated
+- B-scan outputs     (ndisp, H): P(None, 'ascan') — depth local, lateral
+  sharded; replicated over 'data' after the psum averaging.
+- C-scan volumes     (F, ndisp, H): P('data', None, 'ascan').
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fdoct_tpu.calibration import Calibration
+from fdoct_tpu.config import PipelineConfig
+from fdoct_tpu.ops import to_db
+from fdoct_tpu.ops.scale import threshold_floor
+from fdoct_tpu.pipeline import apodize_ratio, ascan_mags, preprocess
+
+
+def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place a (B, H, W) frame batch with frames over 'data' and A-scan rows
+    over 'ascan' (the host→device input seam; the moral successor of
+    GetQHYCCDLiveFrame is a device_put with this sharding)."""
+    return jax.device_put(frames, NamedSharding(mesh, P("data", "ascan", None)))
+
+
+def _mask_dc_rows_local(bscan_db: jnp.ndarray) -> jnp.ndarray:
+    """DC-row masking on the local (depth, lateral) block; depth is
+    unsharded so this needs no communication (BscanFFT.cpp:1239-1240)."""
+    out = bscan_db.at[0, :].set(bscan_db[4, :])
+    return out.at[1, :].set(bscan_db[4, :])
+
+
+def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
+                       pi_frame: jnp.ndarray, calib: Calibration,
+                       cfg: PipelineConfig, mesh: Mesh,
+                       method: str = "fused"):
+    """One averaged B-scan from a sharded frame batch.
+
+    ``frames`` (B, H, W) raw; every frame in the batch belongs to the same
+    averaging group (B = averages).  Local magnitudes accumulate on-device,
+    ``psum`` over 'data' completes the group average, and the display
+    normalization does its global min/max over 'ascan' with pmin/pmax —
+    total communication: one (H_loc × ndisp) psum + 2 scalars.
+
+    Returns (bscan_db, bscan_disp01) with layout P(None, 'ascan'),
+    jit-compiled over the mesh.
+    """
+    B = frames.shape[0]
+
+    def step(fr, yb, yp):
+        y = preprocess(fr, cfg)
+        yr = apodize_ratio(y, yb, yp, cfg)
+        mags = ascan_mags(yr, calib, method)          # (b_loc, h_loc, ndisp)
+        group = lax.psum(jnp.sum(mags, axis=0), "data")
+        bscan = group.T / B + 1e-5                    # (ndisp, h_loc)
+        db = to_db(bscan, eps=0.0, compat=cfg.compat)
+        db = _mask_dc_rows_local(db)
+        disp = threshold_floor(db, cfg.bscanthreshold)
+        gmin = lax.pmin(jnp.min(disp), "ascan")
+        gmax = lax.pmax(jnp.max(disp), "ascan")
+        rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
+        return db, (disp - gmin) / rng
+
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
+        out_specs=(P(None, "ascan"), P(None, "ascan")),
+    )
+    return jax.jit(fn)(frames, background, pi_frame)
+
+
+def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,
+                         pi_frame: jnp.ndarray, calib: Calibration,
+                         cfg: PipelineConfig, mesh: Mesh,
+                         method: str = "fused",
+                         gather_full: bool = False):
+    """Volumetric C-scan: per-frame B-scans for a (F, H, W) volume.
+
+    Frames shard over 'data', rows over 'ascan'.  Each device reconstructs
+    its block locally; ``all_gather`` over 'ascan' assembles complete
+    B-scans so the volume comes out P('data', None, None) — or fully
+    replicated when ``gather_full`` (an extra all_gather over 'data').
+    """
+
+    def step(fr, yb, yp):
+        y = preprocess(fr, cfg)
+        yr = apodize_ratio(y, yb, yp, cfg)
+        mags = ascan_mags(yr, calib, method)              # (f_loc, h_loc, nd)
+        mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
+        vol = jnp.swapaxes(mags, 1, 2)                    # (f_loc, nd, H)
+        if gather_full:
+            vol = lax.all_gather(vol, "data", axis=0, tiled=True)
+        return vol
+
+    out_spec = P(None, None, None) if gather_full else P("data", None, None)
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
+        out_specs=out_spec,
+        # all_gather makes the output replicated over the gathered axis; the
+        # static varying-axes check cannot infer that, so disable it
+        check_vma=False,
+    )
+    return jax.jit(fn)(frames, background, pi_frame)

@@ -1,0 +1,95 @@
+"""Sharding tests on the virtual 8-device CPU mesh: sharded results must
+bit-match the single-device pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdoct_tpu.calibration import Calibration
+from fdoct_tpu.config import PipelineConfig
+from fdoct_tpu.parallel import (
+    make_mesh, shard_frames, sharded_bscan_step, sharded_cscan_volume)
+from fdoct_tpu.pipeline import form_bscan, reconstruct
+from fdoct_tpu.sources.synthetic import SyntheticSource
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(width=128, height=16, binvalue=1, averages=8,
+                          numfftpoints=256, numdisplaypoints=64,
+                          dtype="float64", compat=True)
+
+
+@pytest.fixture(scope="module")
+def setup(cfg, rng):
+    src = SyntheticSource(height=cfg.height, width=cfg.width,
+                          depths_um=(40.0, 70.0), noise=0.01, seed=7)
+    it = iter(src.frames())
+    frames = np.stack([next(it) for _ in range(8)])
+    bg = np.maximum(src.background().astype(np.float64), 1.0)
+    pi = np.zeros_like(bg)
+    calib = Calibration.create(cfg)
+    return frames, bg, pi, calib
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8  # virtual CPU mesh from conftest
+
+
+class TestMesh:
+    def test_default_mesh(self):
+        m = make_mesh()
+        assert m.shape == {"data": 8, "ascan": 1}
+
+    def test_2d_mesh(self):
+        m = make_mesh(n_data=4, n_ascan=2)
+        assert m.shape == {"data": 4, "ascan": 2}
+
+    def test_bad_factorization(self):
+        with pytest.raises(ValueError):
+            make_mesh(n_data=3, n_ascan=2)
+
+
+@pytest.mark.parametrize("ndata,nascan", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_bscan_matches_single_device(cfg, setup, ndata, nascan):
+    frames, bg, pi, calib = setup
+    mesh = make_mesh(ndata, nascan)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    db_sh, disp_sh = sharded_bscan_step(
+        sharded, jnp.asarray(bg), jnp.asarray(pi), calib, cfg, mesh)
+
+    mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg), jnp.asarray(pi),
+                       calib, cfg, method="fused")
+    ref = form_bscan(mags.sum(0), cfg, averages=8)
+    assert np.allclose(np.asarray(db_sh), np.asarray(ref.bscandb), atol=1e-9)
+    # disp compare against float normalize (pre-uint8)
+    from fdoct_tpu.ops import normalize_minmax
+    from fdoct_tpu.ops.scale import threshold_floor
+    want = normalize_minmax(threshold_floor(ref.bscandb, cfg.bscanthreshold))
+    assert np.allclose(np.asarray(disp_sh), np.asarray(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("gather_full", [False, True])
+def test_sharded_cscan_matches_single_device(cfg, setup, gather_full):
+    frames, bg, pi, calib = setup
+    mesh = make_mesh(4, 2)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    vol = sharded_cscan_volume(sharded, jnp.asarray(bg), jnp.asarray(pi),
+                               calib, cfg, mesh, gather_full=gather_full)
+    mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg), jnp.asarray(pi),
+                       calib, cfg, method="fused")
+    want = np.swapaxes(np.asarray(mags), 1, 2)  # (F, ndisp, H)
+    assert vol.shape == want.shape
+    assert np.allclose(np.asarray(vol), want, atol=1e-9)
+
+
+def test_cscan_output_sharding(cfg, setup):
+    frames, bg, pi, calib = setup
+    mesh = make_mesh(4, 2)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    vol = sharded_cscan_volume(sharded, jnp.asarray(bg), jnp.asarray(pi),
+                               calib, cfg, mesh, gather_full=False)
+    # volume stays sharded over frames ('data')
+    spec = vol.sharding.spec
+    assert spec[0] == "data"

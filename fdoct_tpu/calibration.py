@@ -138,7 +138,7 @@ class Calibration:
         ndisp = min(cfg.numdisplaypoints, nfft)
         n_in = opw * mult
 
-        win = np.asarray(_windows.get_window(cfg.window, opw, dtype=jnp.float64))
+        win = np.asarray(_windows.get_window(cfg.window, opw)).astype(np.float64)
 
         # dispersion phase on the uniform k grid (framework extension)
         if cfg.dispersion_a2 or cfg.dispersion_a3:

@@ -1,0 +1,290 @@
+"""Command-line interface.
+
+One executable with subcommands replaces the reference's 17 monolithic
+binaries (SURVEY.md §2.1):
+
+- ``fdoct sim``      — hardware-free replay (BscanFFTsim role): reconstruct
+  saved interferogram PNGs, write B-scans + data dumps.
+- ``fdoct live``     — streaming session on a source (synthetic generator or
+  camera shim) with the keystroke state machine; keys via stdin.
+- ``fdoct capture``  — triggered/free-running batch capture writing
+  ``Trig%03d-%03d.png`` sets (BscanFFTspinj/spinjnt role).
+- ``fdoct offline``  — the offline reconstruction tool the reference spawns
+  by fork/execv with argv {dirname, manualaverages}
+  (BscanFFTspinj.cpp:2389-2412); same protocol honoured.
+- ``fdoct viewport`` — frame viewer/saver (ViewportSaver role).
+- ``fdoct xml2m|xml2mm|xml2ms`` — FileStorage-XML → MATLAB converters
+  (BscanFFTxml2m*.cpp roles).
+- ``fdoct bench``    — the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cfg(args) -> "PipelineConfig":
+    from fdoct_tpu.config import PipelineConfig, read_ini
+
+    if args.config and args.config.endswith(".ini"):
+        return read_ini(args.config, getattr(args, "variant", "base"))
+    if args.config:
+        return PipelineConfig.from_json(Path(args.config).read_text())
+    return PipelineConfig()
+
+
+def _make_source(args, cfg):
+    from fdoct_tpu.sources import ReplaySource, SyntheticSource
+
+    if getattr(args, "image", None):
+        base = Path(args.image).parent
+        return ReplaySource(
+            args.image,
+            background_image=(args.background or
+                              (base / "backg.png" if (base / "backg.png").exists() else None)),
+            pi_image=(args.pi or
+                      (base / "piimgi.png" if (base / "piimgi.png").exists() else None)),
+        )
+    return SyntheticSource(height=cfg.height, width=cfg.width,
+                           lambda0=cfg.lambda0,
+                           dlambda=cfg.lambdabw / (2 * 2.3548) * 2.3548)
+
+
+def cmd_sim(args) -> int:
+    """Replay reconstruction (BscanFFTsim.cpp role)."""
+    from fdoct_tpu.session import Session
+    from fdoct_tpu.sinks import RunWriter
+
+    cfg = _load_cfg(args).replace(donotnormalize=False)  # sim normalizes input
+    src = _make_source(args, cfg)
+    sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
+    s = Session(cfg, variant="sim", sink=sink, source=src, method=args.method)
+    s.key("b")
+    s.key("p")
+    it = iter(src.frames())
+    shown = 0
+    for _ in range(args.frames):
+        s.key("s")
+        r = None
+        while r is None:
+            r = s.process(next(it))
+        shown += 1
+    s.close()
+    print(f"wrote {shown} B-scans to {sink.dir}")
+    return 0
+
+
+def cmd_live(args) -> int:
+    """Streaming session with stdin keys (BscanFFT role, display-free)."""
+    from fdoct_tpu.session import Session
+    from fdoct_tpu.sinks import RunWriter
+
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
+    s = Session(cfg, sink=sink, source=src, method=args.method)
+    it = iter(src.frames())
+    import select
+
+    n = 0
+    while not s.done and (args.frames == 0 or n < args.frames):
+        if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
+            for ch in sys.stdin.readline().rstrip("\n"):
+                s.key(ch)
+        r = s.process(next(it))
+        n += 1
+        if r is not None and args.verbose:
+            print(f"bscan group done (n={n}), peak "
+                  f"{r.bscandb.max():.1f} dB", file=sys.stderr)
+    s.close()
+    print(f"processed {n} frames; outputs in {sink.dir}")
+    return 0
+
+
+def cmd_capture(args) -> int:
+    """Batch capture to Trig/KTrig PNG sets (BscanFFTspinj 't'/'k'/'|' roles:
+    AcquireImages/AcquireImagesAlt, BscanFFTspinj.cpp:258-450)."""
+    from fdoct_tpu.sinks import RunWriter
+    from fdoct_tpu.utils.imageio import write_png
+
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
+    it = iter(src.frames())
+    n = args.sets
+    m = args.frames_per_set or cfg.manualaverages
+    for si in range(n):
+        for fi in range(m):
+            frame = next(it)
+            if frame.dtype == np.uint8 and args.bits16:
+                frame = (frame.astype(np.uint16) << 8)
+            write_png(sink.dir / f"Trig{si:03d}-{fi:03d}.png", frame)
+        if args.alternate:  # '|' key: alternate signal/J0 sets
+            pi = src.pi_frame()
+            for fi in range(m):
+                write_png(sink.dir / f"KTrig{si:03d}-{fi:03d}.png", pi)
+    print(f"captured {n} sets of {m} frames in {sink.dir}")
+    return 0
+
+
+def cmd_offline(args) -> int:
+    """Offline reconstruction of a captured directory.
+
+    argv protocol matches the tool the reference spawns: positional
+    {dirname, manualaverages} (BscanFFTspinj.cpp:1139, 2389-2412).
+    """
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.pipeline import form_bscan, reconstruct
+    from fdoct_tpu.sinks import RunWriter
+    from fdoct_tpu.sources import DirectorySource
+    from fdoct_tpu.utils.colormap import apply_jet
+    from fdoct_tpu.utils.imageio import write_png
+
+    import jax.numpy as jnp
+
+    cfg = _load_cfg(args)
+    src = DirectorySource(args.dirname)
+    sets = src.sets(False)
+    if not sets:
+        print(f"no Trig*.png sets in {args.dirname}", file=sys.stderr)
+        return 1
+    first = next(iter(src.frames()))
+    h, w = first.shape
+    cfg = cfg.replace(width=w * max(cfg.binvalue, 1),
+                      height=h * max(cfg.binvalue, 1))
+    calib = Calibration.create(cfg)
+    outdir = Path(args.dirname)
+    bg = jnp.full((cfg.oph, cfg.opw), float(max(first.max(), 1)), jnp.float32)
+    pi = jnp.zeros((cfg.oph, cfg.opw), jnp.float32)
+    navg = args.manualaverages
+    from fdoct_tpu.utils.imageio import read_png_gray
+    for si, paths in sorted(sets.items()):
+        frames = np.stack([read_png_gray(p) for p in paths[:navg or None]])
+        mags = reconstruct(jnp.asarray(frames), bg, pi, calib, cfg,
+                           method=args.method)
+        out = form_bscan(mags.sum(0), cfg, averages=frames.shape[0])
+        write_png(outdir / f"offline_bscan{si:03d}.png", np.asarray(out.bscandisp))
+        write_png(outdir / f"offline_bscanc{si:03d}.png",
+                  apply_jet(np.asarray(out.bscandisp)))
+    print(f"reconstructed {len(sets)} sets in {outdir}")
+    return 0
+
+
+def cmd_viewport(args) -> int:
+    """Viewport saver: dump N raw frames as PNGs (ViewportSaver role)."""
+    from fdoct_tpu.sinks import RunWriter
+
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
+    it = iter(src.frames())
+    for i in range(args.frames):
+        frame = next(it)
+        if cfg.vgamma != 1.0:
+            peak = 255.0 if frame.dtype == np.uint8 else 65535.0
+            frame = (np.clip((frame / peak) ** cfg.vgamma, 0, 1) * peak
+                     ).astype(frame.dtype)
+        sink.save_image(f"frame{i:03d}", frame)
+    print(f"saved {args.frames} frames in {sink.dir}")
+    return 0
+
+
+def _convert(args, mode: str) -> int:
+    """FileStorage XML → .m converters (BscanFFTxml2m/mm/ms.cpp roles):
+    'm' = one .m with all matrices, 'mm' = one .m per matrix,
+    'ms' = one .m per matrix with a single variable each."""
+    from fdoct_tpu.sinks.run_writer import matlab_matrix
+    from fdoct_tpu.utils.cvxml import read_xml
+
+    mats, scalars = read_xml(args.xmlfile)
+    stem = Path(args.xmlfile).with_suffix("")
+    if mode == "m":
+        lines = [f"{k}={matlab_matrix(v)};" for k, v in mats.items()]
+        lines += [f"{k}={v};" for k, v in scalars.items()]
+        out = Path(f"{stem}_xml2m.m")
+        out.write_text("\n".join(lines) + "\n")
+        print(f"wrote {out}")
+    else:
+        for k, v in mats.items():
+            out = Path(f"{stem}_{k}.m")
+            var = k if mode == "ms" else "data"
+            out.write_text(f"{var}={matlab_matrix(v)};\n")
+        print(f"wrote {len(mats)} files next to {args.xmlfile}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fdoct", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, source=True):
+        sp.add_argument("--config", help=".ini or .json config file")
+        sp.add_argument("--variant", default="base",
+                        help="ini schema variant (base/webcam/dark/peak/spinjnt)")
+        sp.add_argument("--outdir", default=".")
+        sp.add_argument("--format", default="m", choices=["m", "xml", "npz"])
+        sp.add_argument("--method", default="fused", choices=["fused", "gather"])
+        if source:
+            sp.add_argument("--image", help="interferogram PNG to replay")
+            sp.add_argument("--background", help="background PNG")
+            sp.add_argument("--pi", help="pi-shifted PNG")
+
+    sp = sub.add_parser("sim", help="replay reconstruction")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=1)
+    sp.set_defaults(fn=cmd_sim)
+
+    sp = sub.add_parser("live", help="streaming session")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=0, help="0 = until 'x' key")
+    sp.add_argument("--verbose", action="store_true")
+    sp.set_defaults(fn=cmd_live)
+
+    sp = sub.add_parser("capture", help="batch capture Trig sets")
+    common(sp)
+    sp.add_argument("--sets", type=int, default=1)
+    sp.add_argument("--frames-per-set", type=int, default=0)
+    sp.add_argument("--alternate", action="store_true",
+                    help="also write KTrig J0 sets ('|' trigger mode)")
+    sp.add_argument("--bits16", action="store_true")
+    sp.set_defaults(fn=cmd_capture)
+
+    sp = sub.add_parser("offline", help="offline reconstruction of Trig dir")
+    sp.add_argument("dirname")
+    sp.add_argument("manualaverages", type=int, nargs="?", default=0)
+    common(sp, source=False)
+    sp.set_defaults(fn=cmd_offline)
+
+    sp = sub.add_parser("viewport", help="save raw frames")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=1)
+    sp.set_defaults(fn=cmd_viewport)
+
+    for mode in ("m", "mm", "ms"):
+        sp = sub.add_parser(f"xml2{mode}", help=f"XML → .m ({mode})")
+        sp.add_argument("xmlfile")
+        sp.set_defaults(fn=lambda a, m=mode: _convert(a, m))
+
+    sp = sub.add_parser("bench", help="run the benchmark")
+    sp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,6 +111,21 @@ def resize_bicubic(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return jax.image.resize(img, out_shape, method="cubic")
 
 
+def channel_select(frame: jnp.ndarray, channelnum: int) -> jnp.ndarray:
+    """Webcam color-channel selection (reference: BscanFFTwebcam.cpp
+    1015-1039): channelnum 0/1/2 picks the B/G/R plane of an OpenCV-order
+    (h, w, 3) frame; 3 sums all channels scaled by 1/(255*3).
+
+    Accepts RGB-order numpy/JAX arrays (the PIL convention used by our
+    imageio): OpenCV channel c == RGB channel 2-c.
+    """
+    if frame.ndim == 2:
+        return frame
+    if channelnum == 3:
+        return frame.astype(jnp.float32).sum(axis=-1) / (255.0 * 3.0)
+    return frame[..., 2 - channelnum]
+
+
 def bscan_rebin(bscan: jnp.ndarray, binx: int, biny: int,
                 multiplyfactor: float = 1.0) -> jnp.ndarray:
     """spinjnt output B-scan binning: INTER_AREA downscale by (binx, biny),

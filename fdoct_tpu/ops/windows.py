@@ -12,13 +12,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _ramp(n: int, dtype=jnp.float64):
+def _ramp(n: int, dtype=None):
     """n/(N-1) in [0, 1], the MATLAB symmetric-window argument."""
     nn = jnp.arange(n, dtype=dtype)
     return nn / (n - 1) if n > 1 else jnp.zeros((n,), dtype)
 
 
-def barthann(n: int, dtype=jnp.float64) -> jnp.ndarray:
+def barthann(n: int, dtype=None) -> jnp.ndarray:
     """Modified Bartlett-Hann window.
 
     w(p) = 0.62 - 0.48*|p/(N-1) - 0.5| + 0.38*cos(2π(p/(N-1) - 0.5))
@@ -29,17 +29,17 @@ def barthann(n: int, dtype=jnp.float64) -> jnp.ndarray:
     return 0.62 - 0.48 * jnp.abs(x) + 0.38 * jnp.cos(2 * jnp.pi * x)
 
 
-def hann(n: int, dtype=jnp.float64) -> jnp.ndarray:
+def hann(n: int, dtype=None) -> jnp.ndarray:
     x = _ramp(n, dtype)
     return 0.5 - 0.5 * jnp.cos(2 * jnp.pi * x)
 
 
-def hamming(n: int, dtype=jnp.float64) -> jnp.ndarray:
+def hamming(n: int, dtype=None) -> jnp.ndarray:
     x = _ramp(n, dtype)
     return 0.54 - 0.46 * jnp.cos(2 * jnp.pi * x)
 
 
-def tukey(n: int, alpha: float = 0.5, dtype=jnp.float64) -> jnp.ndarray:
+def tukey(n: int, alpha: float = 0.5, dtype=None) -> jnp.ndarray:
     """Tapered-cosine window (compared in Matlab files/wangOCTrec3.m)."""
     if alpha <= 0:
         return jnp.ones((n,), dtype)
@@ -54,14 +54,14 @@ def tukey(n: int, alpha: float = 0.5, dtype=jnp.float64) -> jnp.ndarray:
     return w
 
 
-def gaussian(n: int, sigma: float = 0.4, dtype=jnp.float64) -> jnp.ndarray:
+def gaussian(n: int, sigma: float = 0.4, dtype=None) -> jnp.ndarray:
     """Gaussian window, σ relative to half-width (matlab gausswin style)."""
     half = (n - 1) / 2
     x = (jnp.arange(n, dtype=dtype) - half) / half if n > 1 else jnp.zeros((n,), dtype)
     return jnp.exp(-0.5 * (x / sigma) ** 2)
 
 
-def blackmanharris(n: int, dtype=jnp.float64) -> jnp.ndarray:
+def blackmanharris(n: int, dtype=None) -> jnp.ndarray:
     """4-term Blackman-Harris (compared in Matlab files/wangOCTrec4.m)."""
     a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
     x = 2 * jnp.pi * _ramp(n, dtype)
@@ -75,11 +75,11 @@ _WINDOWS = {
     "tukey": tukey,
     "gaussian": gaussian,
     "blackmanharris": blackmanharris,
-    "rect": lambda n, dtype=jnp.float64: jnp.ones((n,), dtype),
+    "rect": lambda n, dtype=None: jnp.ones((n,), dtype),
 }
 
 
-def get_window(kind: str, n: int, dtype=jnp.float64, **kw) -> jnp.ndarray:
+def get_window(kind: str, n: int, dtype=None, **kw) -> jnp.ndarray:
     """Window factory; ``kind`` is one of ``fdoct_tpu.ops.windows._WINDOWS``."""
     try:
         fn = _WINDOWS[kind]

@@ -1,0 +1,53 @@
+"""Checkpoint / resume of session calibration state.
+
+The reference's "checkpoint" is its ini file plus re-capturable calibration
+frames (background S(k), π/J0, dark/ref/sample), optionally dumped as raw
+.ocv binaries for the offline tool (SURVEY.md §5).  Here the same state —
+config + every captured calibration tensor + runtime knobs — round-trips
+through one .npz archive, so a session can resume exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+_TENSORS = ("data_yb", "data_yp", "data_yd", "data_yr", "data_ys")
+_SCALARS = ("averagestoggle", "bscanthreshold", "exposure_us", "gain",
+            "ascanat", "vertposROI", "widthROI", "indexi", "manualindexi")
+
+
+def save_session(session, path: str | Path) -> Path:
+    """Write config + calibration tensors + runtime knobs to ``path``."""
+    path = Path(path)
+    payload = {f"tensor_{k}": np.asarray(getattr(session, k)) for k in _TENSORS}
+    payload.update({f"scalar_{k}": np.asarray(getattr(session, k))
+                    for k in _SCALARS})
+    payload["config_json"] = np.frombuffer(
+        session.cfg.to_json().encode(), dtype=np.uint8)
+    np.savez_compressed(path, **payload)
+    return path
+
+
+def load_session(path: str | Path, session=None, **session_kwargs):
+    """Rebuild (or update) a Session from a checkpoint.
+
+    With ``session=None`` constructs a fresh Session from the stored config;
+    otherwise restores tensors/knobs into the given session (its config must
+    produce the same shapes).
+    """
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.session import Session
+
+    data = np.load(path)
+    cfg = PipelineConfig.from_json(bytes(data["config_json"]).decode())
+    if session is None:
+        session = Session(cfg, **session_kwargs)
+    for k in _TENSORS:
+        setattr(session, k, jnp.asarray(data[f"tensor_{k}"]))
+    for k in _SCALARS:
+        v = data[f"scalar_{k}"][()]
+        setattr(session, k, type(getattr(session, k))(v))
+    return session

@@ -1,0 +1,165 @@
+"""Camera shim: read frames from the native shared-memory ring.
+
+The host-side half of the native acquisition seam (native/fdoct_ring.cpp +
+native/capture_daemon.cpp).  Replaces the reference's blocking
+GetQHYCCDLiveFrame call (BscanFFT.cpp:948) with a poll of the newest
+complete frame in the ring — the daemon owns the camera SDK / V4L2 device,
+this process owns the TPU.  Binding is ctypes; no compiled Python extension
+needed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import time
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+
+
+def _build_native() -> None:
+    subprocess.run(["make", "-C", str(_NATIVE_DIR),
+                    "libfdoct_ring.so", "capture_daemon"],
+                   check=True, capture_output=True, timeout=120)
+
+
+def load_ring_lib(build: bool = True) -> ctypes.CDLL:
+    so = _NATIVE_DIR / "libfdoct_ring.so"
+    if not so.exists():
+        if not build:
+            raise FileNotFoundError(so)
+        _build_native()
+    lib = ctypes.CDLL(str(so))
+    lib.fdoct_ring_open.restype = ctypes.c_void_p
+    lib.fdoct_ring_open.argtypes = [ctypes.c_char_p, ctypes.c_int] + \
+        [ctypes.c_uint32] * 4
+    lib.fdoct_ring_close.argtypes = [ctypes.c_void_p]
+    for name in ("fdoct_ring_width", "fdoct_ring_height", "fdoct_ring_bpp"):
+        getattr(lib, name).restype = ctypes.c_uint32
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_frame_bytes.restype = ctypes.c_uint64
+    lib.fdoct_ring_frame_bytes.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_push.restype = ctypes.c_uint64
+    lib.fdoct_ring_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.fdoct_ring_latest.restype = ctypes.c_uint64
+    lib.fdoct_ring_latest.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                      ctypes.c_char_p]
+    lib.fdoct_ring_get.restype = ctypes.c_uint64
+    lib.fdoct_ring_get.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_char_p]
+    lib.fdoct_ring_head.restype = ctypes.c_uint64
+    lib.fdoct_ring_head.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class RingWriter:
+    """In-process writer (used by tests; production uses the daemon)."""
+
+    def __init__(self, path: str | Path, width: int, height: int,
+                 bpp: int = 8, nslots: int = 16):
+        self.lib = load_ring_lib()
+        self.h = self.lib.fdoct_ring_open(str(path).encode(), 1,
+                                          width, height, bpp, nslots)
+        if not self.h:
+            raise OSError(f"cannot create ring at {path}")
+
+    def push(self, frame: np.ndarray) -> int:
+        buf = np.ascontiguousarray(frame)
+        return self.lib.fdoct_ring_push(
+            self.h, buf.ctypes.data_as(ctypes.c_char_p))
+
+    def close(self) -> None:
+        if self.h:
+            self.lib.fdoct_ring_close(self.h)
+            self.h = None
+
+
+class RingReader:
+    """Polling reader over an existing ring."""
+
+    def __init__(self, path: str | Path, timeout_s: float = 10.0):
+        self.lib = load_ring_lib()
+        deadline = time.monotonic() + timeout_s
+        self.h = None
+        while time.monotonic() < deadline:
+            h = self.lib.fdoct_ring_open(str(path).encode(), 0, 0, 0, 0, 0)
+            if h:
+                self.h = h
+                break
+            time.sleep(0.05)
+        if not self.h:
+            raise TimeoutError(f"ring {path} never appeared")
+        self.width = self.lib.fdoct_ring_width(self.h)
+        self.height = self.lib.fdoct_ring_height(self.h)
+        self.bpp = self.lib.fdoct_ring_bpp(self.h)
+        self.frame_bytes = self.lib.fdoct_ring_frame_bytes(self.h)
+        self._dtype = np.uint16 if self.bpp > 8 else np.uint8
+        self._buf = np.empty(self.frame_bytes, np.uint8)
+        self.last_seq = 0
+
+    def latest(self, timeout_s: float = 5.0) -> np.ndarray | None:
+        """Newest frame not yet seen; blocks up to timeout (the reference's
+        blocking GetQHYCCDLiveFrame role)."""
+        deadline = time.monotonic() + timeout_s
+        ptr = self._buf.ctypes.data_as(ctypes.c_char_p)
+        while time.monotonic() < deadline:
+            seq = self.lib.fdoct_ring_latest(self.h, self.last_seq, ptr)
+            if seq:
+                self.last_seq = seq
+                return self._buf.view(self._dtype).reshape(
+                    self.height, self.width).copy()
+            time.sleep(0.001)
+        return None
+
+    def close(self) -> None:
+        if self.h:
+            self.lib.fdoct_ring_close(self.h)
+            self.h = None
+
+
+class CameraSource:
+    """FrameSource over a ring, optionally spawning the capture daemon.
+
+    background/pi frames are captured live by averaging (the 'b'/'p' key
+    flow) — like real hardware, there is no oracle image to read.
+    """
+
+    def __init__(self, ring_path: str | Path, daemon_args: list[str] | None = None,
+                 width: int = 0, height: int = 0, bpp: int = 8,
+                 nslots: int = 16, fps: float = 100.0):
+        self.proc = None
+        if daemon_args is not None:
+            exe = _NATIVE_DIR / "capture_daemon"
+            if not exe.exists():
+                _build_native()
+            cmd = [str(exe), str(ring_path), str(width), str(height),
+                   str(bpp), str(nslots), str(fps)] + daemon_args
+            self.proc = subprocess.Popen(cmd)
+        self.reader = RingReader(ring_path)
+
+    def frames(self) -> Iterator[np.ndarray]:
+        while True:
+            frame = self.reader.latest()
+            if frame is None:
+                raise TimeoutError("camera ring starved")
+            yield frame
+
+    def background(self) -> np.ndarray:
+        raise NotImplementedError("capture via the session 'b' key flow")
+
+    def pi_frame(self) -> np.ndarray:
+        raise NotImplementedError("capture via the session 'p' key flow")
+
+    def close(self) -> None:
+        self.reader.close()
+        if self.proc is not None:
+            self.proc.terminate()
+            try:
+                self.proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self.proc.kill()
+                self.proc.wait(timeout=5)

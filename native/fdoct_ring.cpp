@@ -1,0 +1,172 @@
+// fdoct_ring: file/shm-backed lock-free frame ring buffer (C ABI).
+//
+// The native seam between acquisition hardware and the Python/JAX host
+// process.  Plays the role the USB bus + GetQHYCCDLiveFrame blocking call
+// plays in the reference (hn-88/FDOCT BscanFFT.cpp:948): a capture daemon
+// (capture_daemon.cpp) pushes raw frames, the host reader
+// (fdoct_tpu/sources/camera.py, via ctypes) polls the newest complete
+// frame and feeds the device pipeline.  Single writer, any number of
+// readers, no locks: per-slot sequence numbers with acquire/release
+// ordering detect torn reads.
+//
+// Build: g++ -O2 -shared -fPIC -o libfdoct_ring.so fdoct_ring.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint32_t MAGIC = 0xFD0C7B1F;
+constexpr uint32_t VERSION = 1;
+
+struct Header {
+  uint32_t magic;
+  uint32_t version;
+  uint32_t width;
+  uint32_t height;
+  uint32_t bpp;        // 8 or 16
+  uint32_t nslots;
+  uint64_t frame_bytes;
+  uint64_t head;       // frames written so far (monotonic)
+  uint8_t pad[64 - ((8 * 4 + 16) % 64)];
+};
+
+struct Ring {
+  int fd;
+  size_t map_bytes;
+  Header *hdr;
+  uint8_t *slots;      // nslots x (8-byte seq + frame_bytes)
+};
+
+inline uint64_t slot_stride(const Header *h) { return 8 + h->frame_bytes; }
+
+inline uint64_t *slot_seq(Ring *r, uint64_t idx) {
+  return reinterpret_cast<uint64_t *>(r->slots + idx * slot_stride(r->hdr));
+}
+
+inline uint8_t *slot_data(Ring *r, uint64_t idx) {
+  return r->slots + idx * slot_stride(r->hdr) + 8;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Create (writer) or open (reader) a ring at `path`.  create=1 truncates
+// and initializes.  Returns an opaque handle or nullptr.
+void *fdoct_ring_open(const char *path, int create, uint32_t width,
+                      uint32_t height, uint32_t bpp, uint32_t nslots) {
+  int flags = create ? (O_RDWR | O_CREAT) : O_RDWR;
+  int fd = open(path, flags, 0644);
+  if (fd < 0) return nullptr;
+
+  uint64_t frame_bytes = 0;
+  size_t map_bytes = 0;
+  if (create) {
+    frame_bytes = (uint64_t)width * height * (bpp > 8 ? 2 : 1);
+    map_bytes = sizeof(Header) + (size_t)nslots * (8 + frame_bytes);
+    if (ftruncate(fd, (off_t)map_bytes) != 0) { close(fd); return nullptr; }
+  } else {
+    Header probe;
+    if (pread(fd, &probe, sizeof(probe), 0) != (ssize_t)sizeof(probe) ||
+        probe.magic != MAGIC || probe.version != VERSION) {
+      close(fd);
+      return nullptr;
+    }
+    frame_bytes = probe.frame_bytes;
+    nslots = probe.nslots;
+    map_bytes = sizeof(Header) + (size_t)nslots * (8 + frame_bytes);
+  }
+
+  void *mem = mmap(nullptr, map_bytes, PROT_READ | PROT_WRITE, MAP_SHARED,
+                   fd, 0);
+  if (mem == MAP_FAILED) { close(fd); return nullptr; }
+
+  Ring *r = new Ring;
+  r->fd = fd;
+  r->map_bytes = map_bytes;
+  r->hdr = reinterpret_cast<Header *>(mem);
+  r->slots = reinterpret_cast<uint8_t *>(mem) + sizeof(Header);
+
+  if (create) {
+    memset(mem, 0, map_bytes);
+    r->hdr->width = width;
+    r->hdr->height = height;
+    r->hdr->bpp = bpp;
+    r->hdr->nslots = nslots;
+    r->hdr->frame_bytes = frame_bytes;
+    r->hdr->head = 0;
+    r->hdr->version = VERSION;
+    __atomic_store_n(&r->hdr->magic, MAGIC, __ATOMIC_RELEASE);
+  }
+  return r;
+}
+
+void fdoct_ring_close(void *handle) {
+  Ring *r = static_cast<Ring *>(handle);
+  if (!r) return;
+  munmap(r->hdr, r->map_bytes);
+  close(r->fd);
+  delete r;
+}
+
+uint32_t fdoct_ring_width(void *h)  { return static_cast<Ring *>(h)->hdr->width; }
+uint32_t fdoct_ring_height(void *h) { return static_cast<Ring *>(h)->hdr->height; }
+uint32_t fdoct_ring_bpp(void *h)    { return static_cast<Ring *>(h)->hdr->bpp; }
+uint64_t fdoct_ring_frame_bytes(void *h) {
+  return static_cast<Ring *>(h)->hdr->frame_bytes;
+}
+
+// Writer: push one frame (frame_bytes long).  Returns the new sequence
+// number (1-based).
+uint64_t fdoct_ring_push(void *handle, const uint8_t *data) {
+  Ring *r = static_cast<Ring *>(handle);
+  const uint64_t head = __atomic_load_n(&r->hdr->head, __ATOMIC_RELAXED);
+  const uint64_t idx = head % r->hdr->nslots;
+  __atomic_store_n(slot_seq(r, idx), 0, __ATOMIC_RELEASE);  // mark in-flight
+  memcpy(slot_data(r, idx), data, r->hdr->frame_bytes);
+  __atomic_store_n(slot_seq(r, idx), head + 1, __ATOMIC_RELEASE);
+  __atomic_store_n(&r->hdr->head, head + 1, __ATOMIC_RELEASE);
+  return head + 1;
+}
+
+// Reader: copy out the newest frame if its sequence is > last_seq.
+// Returns the frame's sequence number, or 0 if nothing new / torn.
+uint64_t fdoct_ring_latest(void *handle, uint64_t last_seq, uint8_t *out) {
+  Ring *r = static_cast<Ring *>(handle);
+  const uint64_t head = __atomic_load_n(&r->hdr->head, __ATOMIC_ACQUIRE);
+  if (head == 0 || head <= last_seq) return 0;
+  const uint64_t idx = (head - 1) % r->hdr->nslots;
+  const uint64_t seq_before = __atomic_load_n(slot_seq(r, idx), __ATOMIC_ACQUIRE);
+  if (seq_before != head) return 0;  // writer mid-overwrite
+  memcpy(out, slot_data(r, idx), r->hdr->frame_bytes);
+  const uint64_t seq_after = __atomic_load_n(slot_seq(r, idx), __ATOMIC_ACQUIRE);
+  if (seq_after != seq_before) return 0;  // torn read, caller retries
+  return head;
+}
+
+// Reader: copy out a specific sequence (for in-order consumption when the
+// reader keeps up).  Returns seq on success, 0 if that slot was overwritten.
+uint64_t fdoct_ring_get(void *handle, uint64_t seq, uint8_t *out) {
+  Ring *r = static_cast<Ring *>(handle);
+  if (seq == 0) return 0;
+  const uint64_t head = __atomic_load_n(&r->hdr->head, __ATOMIC_ACQUIRE);
+  if (seq > head || head - seq >= r->hdr->nslots) return 0;
+  const uint64_t idx = (seq - 1) % r->hdr->nslots;
+  if (__atomic_load_n(slot_seq(r, idx), __ATOMIC_ACQUIRE) != seq) return 0;
+  memcpy(out, slot_data(r, idx), r->hdr->frame_bytes);
+  if (__atomic_load_n(slot_seq(r, idx), __ATOMIC_ACQUIRE) != seq) return 0;
+  return seq;
+}
+
+uint64_t fdoct_ring_head(void *handle) {
+  return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->head,
+                         __ATOMIC_ACQUIRE);
+}
+
+}  // extern "C"

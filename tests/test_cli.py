@@ -1,0 +1,123 @@
+"""CLI integration tests (in-process main() invocation)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fdoct_tpu.cli import main
+from fdoct_tpu.config import PipelineConfig, write_ini
+from fdoct_tpu.sources.synthetic import staircase_phantom
+from fdoct_tpu.utils.imageio import write_png
+
+
+@pytest.fixture(scope="module")
+def phantom_dir(tmp_path_factory):
+    """Small staircase phantom PNG set (the imgi/piimgi/backg trio)."""
+    d = tmp_path_factory.mktemp("phantom")
+    ph = staircase_phantom(h=40, w=256)
+    for name, img in ph.items():
+        write_png(d / f"{name}.png", img)
+    return d
+
+
+@pytest.fixture()
+def small_ini(tmp_path):
+    cfg = PipelineConfig(width=256, height=40, binvalue=1, averages=1,
+                         numfftpoints=512, numdisplaypoints=128,
+                         lambdamin=816e-9, lambdamax=884e-9,
+                         dirdescr="cli", dtype="float32")
+    p = tmp_path / "cli.ini"
+    write_ini(cfg, p, "base")
+    return str(p)
+
+
+class TestSim:
+    def test_sim_replay_writes_outputs(self, phantom_dir, small_ini, tmp_path):
+        rc = main(["sim", "--config", small_ini,
+                   "--image", str(phantom_dir / "imgi.png"),
+                   "--outdir", str(tmp_path), "--frames", "2"])
+        assert rc == 0
+        runs = [p for p in tmp_path.iterdir() if p.is_dir()]
+        assert len(runs) == 1
+        files = {p.name for p in runs[0].iterdir()}
+        assert "bscan001.png" in files and "bscanc002.png" in files
+        assert "BscanFFT.m" in files
+
+    def test_sim_bscan_shows_staircase(self, phantom_dir, small_ini, tmp_path):
+        from fdoct_tpu.utils.imageio import read_png
+        main(["sim", "--config", small_ini,
+              "--image", str(phantom_dir / "imgi.png"),
+              "--outdir", str(tmp_path), "--frames", "1"])
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        b = read_png(run / "bscan001.png").astype(float)
+        # staircase phantom: deeper scatterers for later lateral blocks →
+        # the bright-pixel depth centroid must increase across the image
+        depth_idx = np.arange(b.shape[0])[:, None]
+        w = np.maximum(b - np.percentile(b, 90), 0)
+        centroid = (depth_idx * w).sum(0) / np.maximum(w.sum(0), 1e-9)
+        assert centroid[35] > centroid[5]
+
+
+class TestCaptureOffline:
+    def test_capture_then_offline(self, small_ini, tmp_path):
+        rc = main(["capture", "--config", small_ini,
+                   "--outdir", str(tmp_path), "--sets", "2",
+                   "--frames-per-set", "3"])
+        assert rc == 0
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        trigs = sorted(p.name for p in run.glob("Trig*.png"))
+        assert trigs == [f"Trig{s:03d}-{f:03d}.png"
+                        for s in range(2) for f in range(3)]
+        rc = main(["offline", str(run), "3", "--config", small_ini])
+        assert rc == 0
+        assert (run / "offline_bscan000.png").exists()
+        assert (run / "offline_bscanc001.png").exists()
+
+    def test_capture_alternate_writes_ktrig(self, small_ini, tmp_path):
+        main(["capture", "--config", small_ini, "--outdir", str(tmp_path),
+              "--sets", "1", "--frames-per-set", "2", "--alternate"])
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        assert (run / "KTrig000-000.png").exists()
+
+
+class TestViewport:
+    def test_viewport_saves_frames(self, small_ini, tmp_path):
+        rc = main(["viewport", "--config", small_ini,
+                   "--outdir", str(tmp_path), "--frames", "3"])
+        assert rc == 0
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        assert len(list(run.glob("frame*.png"))) == 3
+
+
+class TestConverters:
+    def test_xml2m_roundtrip(self, tmp_path, rng):
+        from fdoct_tpu.utils.cvxml import write_xml
+        xml = tmp_path / "dump.xml"
+        write_xml(xml, {"bscan001": rng.normal(size=(3, 4)),
+                        "linearized": rng.normal(size=(2, 5))},
+                  scalars={"camgain": 7})
+        rc = main(["xml2m", str(xml)])
+        assert rc == 0
+        out = tmp_path / "dump_xml2m.m"
+        text = out.read_text()
+        assert "bscan001=[" in text and "camgain=7" in text
+
+    def test_xml2ms_per_matrix(self, tmp_path, rng):
+        from fdoct_tpu.utils.cvxml import write_xml
+        xml = tmp_path / "d2.xml"
+        write_xml(xml, {"bscan001": rng.normal(size=(2, 2))})
+        rc = main(["xml2ms", str(xml)])
+        assert rc == 0
+        assert (tmp_path / "d2_bscan001.m").read_text().startswith("bscan001=[")
+
+
+class TestLive:
+    def test_live_synthetic(self, small_ini, tmp_path, monkeypatch):
+        import io
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        # select on StringIO fails; patch select to report no input
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "3"])
+        assert rc == 0

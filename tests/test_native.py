@@ -1,0 +1,115 @@
+"""Native ring buffer + capture daemon tests (skipped without a toolchain)."""
+
+import shutil
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+NATIVE = Path(__file__).resolve().parents[1] / "native"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build():
+    subprocess.run(["make", "-C", str(NATIVE),
+                    "libfdoct_ring.so", "capture_daemon"],
+                   check=True, capture_output=True, timeout=180)
+
+
+class TestRing:
+    def test_write_read_roundtrip(self, tmp_path, rng):
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+        path = tmp_path / "ring.bin"
+        w = RingWriter(path, 64, 32, bpp=8, nslots=4)
+        r = RingReader(path)
+        frame = rng.integers(0, 255, (32, 64)).astype(np.uint8)
+        w.push(frame)
+        got = r.latest(timeout_s=2)
+        assert got is not None and np.array_equal(got, frame)
+        w.close(); r.close()
+
+    def test_reader_sees_only_new_frames(self, tmp_path, rng):
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+        path = tmp_path / "ring.bin"
+        w = RingWriter(path, 16, 8, nslots=4)
+        r = RingReader(path)
+        f1 = rng.integers(0, 255, (8, 16)).astype(np.uint8)
+        f2 = rng.integers(0, 255, (8, 16)).astype(np.uint8)
+        w.push(f1)
+        assert np.array_equal(r.latest(2), f1)
+        assert r.latest(timeout_s=0.1) is None  # nothing new
+        w.push(f2)
+        assert np.array_equal(r.latest(2), f2)
+        w.close(); r.close()
+
+    def test_ring_wraps(self, tmp_path, rng):
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+        path = tmp_path / "ring.bin"
+        w = RingWriter(path, 8, 4, nslots=2)
+        r = RingReader(path)
+        frames = [rng.integers(0, 255, (4, 8)).astype(np.uint8)
+                  for _ in range(5)]
+        for f in frames:
+            w.push(f)
+        assert np.array_equal(r.latest(2), frames[-1])
+        w.close(); r.close()
+
+    def test_16bit(self, tmp_path, rng):
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+        path = tmp_path / "r16.bin"
+        w = RingWriter(path, 16, 8, bpp=16, nslots=4)
+        r = RingReader(path)
+        frame = rng.integers(0, 65535, (8, 16)).astype(np.uint16)
+        w.push(frame)
+        got = r.latest(2)
+        assert got.dtype == np.uint16 and np.array_equal(got, frame)
+        w.close(); r.close()
+
+
+class TestDaemon:
+    def test_synthetic_daemon_streams(self, tmp_path):
+        from fdoct_tpu.sources.camera import CameraSource
+        src = CameraSource(tmp_path / "cam.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, fps=200.0)
+        try:
+            it = iter(src.frames())
+            f1 = next(it)
+            assert f1.shape == (16, 64)
+            f2 = next(it)
+            assert f2.shape == (16, 64)
+            # moving pattern: consecutive frames differ
+            time.sleep(0.05)
+            f3 = next(it)
+            assert not np.array_equal(f1, f3)
+        finally:
+            src.close()
+
+    def test_daemon_feeds_pipeline(self, tmp_path):
+        """End-to-end: native daemon → ring → Session → B-scan."""
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.sources.camera import CameraSource
+        cfg = PipelineConfig(width=64, height=16, averages=2,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = CameraSource(tmp_path / "cam2.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, fps=500.0)
+        try:
+            s = Session(cfg)
+            it = iter(src.frames())
+            results = []
+            for _ in range(4):
+                r = s.process(next(it))
+                if r is not None:
+                    results.append(r)
+            assert len(results) == 2
+            assert results[0].bscandisp.shape == (40, 16)
+        finally:
+            src.close()

@@ -224,6 +224,32 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_configedit(args) -> int:
+    """Edit fields of a positional ini in place (the role of the reference's
+    Octave GUI editors build/editini.m / editiniadv.m, which poke specific
+    line numbers; here fields are addressed by name)."""
+    from fdoct_tpu.config import SCHEMAS, read_ini, write_ini
+
+    cfg = read_ini(args.inifile, args.variant)
+    schema_names = {n for n, _ in SCHEMAS[args.variant]}
+    for kv in args.set or []:
+        key, _, val = kv.partition("=")
+        if key not in schema_names:
+            print(f"unknown field {key!r} for variant {args.variant}; "
+                  f"have {sorted(schema_names)}", file=sys.stderr)
+            return 1
+        cur = getattr(cfg, key)
+        typ = type(cur)
+        cfg = cfg.replace(**{key: typ(int(val)) if typ is bool else typ(val)})
+    if args.set:
+        write_ini(cfg, args.inifile, args.variant)
+        print(f"updated {args.inifile}")
+    else:
+        for name, _ in SCHEMAS[args.variant]:
+            print(f"{name} = {getattr(cfg, name)}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdoct", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -278,6 +304,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("configedit", help="view/edit ini fields by name")
+    sp.add_argument("inifile")
+    sp.add_argument("--variant", default="base")
+    sp.add_argument("--set", action="append", metavar="FIELD=VALUE")
+    sp.set_defaults(fn=cmd_configedit)
     return p
 
 

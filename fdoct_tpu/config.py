@@ -200,19 +200,17 @@ _DARK_FIELDS = [f for f in _BASE_FIELDS if f[0] not in ("offsetx", "offsety")] +
 # Peak adds peakholdnumframes (reference: BscanFFTpeak.cpp:1105-1106).
 _PEAK_FIELDS = _BASE_FIELDS + [("peakholdnumframes", int)]
 
-# spinjnt splits binvalue into x/y, adds output B-scan binning and the
-# offline tool path (reference: BscanFFTspinjnt.cpp:791-797, 829).
-_SPINJNT_FIELDS = (
-    [f for f in _BASE_FIELDS if f[0] != "binvalue"]
-    + [
-        ("binvaluex", int),
-        ("binvaluey", int),
-        ("bscanbinx", int),
-        ("bscanbiny", int),
-        ("multiplyfactor", float),
-        ("offline_tool_path", str),
-    ]
-)
+# spinjnt replaces binvalue IN PLACE with binvaluex/y + output B-scan
+# binning, and appends the offline tool path at the end
+# (reference: BscanFFTspinjnt.cpp:791-797, 829; build/BscanFFTspinjnt.ini).
+_SPINJNT_FIELDS = []
+for _f in _BASE_FIELDS:
+    if _f[0] == "binvalue":
+        _SPINJNT_FIELDS += [("binvaluex", int), ("binvaluey", int),
+                            ("bscanbinx", int), ("bscanbiny", int)]
+    else:
+        _SPINJNT_FIELDS.append(_f)
+_SPINJNT_FIELDS.append(("offline_tool_path", str))
 
 # ViewportSaver adds a float gamma; ViewportSaverc adds white balance.
 _VIEWPORT_FIELDS = _BASE_FIELDS + [("vgamma", float)]

@@ -213,7 +213,13 @@ class Session:
 
     def process(self, raw: np.ndarray) -> BscanResult | None:
         cfg = self.cfg
-        y = preprocess(jnp.asarray(raw), cfg)
+        raw = jnp.asarray(raw)
+        if raw.ndim == 3:
+            # webcam variant: color frame → channel select / sum
+            # (BscanFFTwebcam.cpp:1015-1039)
+            from fdoct_tpu.ops.filters import channel_select
+            raw = channel_select(raw, cfg.channelnum)
+        y = preprocess(raw, cfg)
 
         # active ring fills during the current group; the inactive ring still
         # holds the previous group for after-the-fact saves (BscanFFT.cpp:961-984)
@@ -317,10 +323,12 @@ class Session:
         self.indextemp = 0
         mag_sum = self.accum
         if cfg.bscanbinx > 1 or cfg.bscanbiny > 1:
-            # spinjnt output rebinning acts on the linear bscan
+            # spinjnt output rebinning acts on the linear bscan; the scale
+            # factor is derived, not configured (BscanFFTspinjnt.cpp:835:
+            # multiplyfactor = bscanbinx*bscanbiny*binvaluex*binvaluey)
+            mult = cfg.bscanbinx * cfg.bscanbiny * cfg.binvaluex * cfg.binvaluey
             bscan_lin = mag_sum.T / self.averagestoggle
-            bscan_lin = bscan_rebin(bscan_lin, cfg.bscanbinx, cfg.bscanbiny,
-                                    cfg.multiplyfactor)
+            bscan_lin = bscan_rebin(bscan_lin, cfg.bscanbinx, cfg.bscanbiny, mult)
             mag_sum = bscan_lin.T * self.averagestoggle
         out = form_bscan(mag_sum, cfg, self.averagestoggle,
                          bscanthreshold=self.bscanthreshold)

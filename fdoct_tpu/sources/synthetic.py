@@ -117,6 +117,31 @@ def staircase_phantom(h: int = 960, w: int = 1280, lambda0: float = 850e-9,
     return out
 
 
+def wang_fixture(h: int = 96, w: int = 128, lambda0: float = 850e-9,
+                 dlambda: float = 20e-9, ns: float = 1.38,
+                 rs: tuple[float, float] = (0.5, 0.25),
+                 quantize: bool = True) -> dict[str, np.ndarray]:
+    """Regenerate the reference's *checked-in* 96×128 16-bit fixtures
+    (Matlab files/imgi.png, backg.png), which come from wangOCTimg.m — one
+    scatterer pair per ROW at (ii, ii+50) µm with n_s = 1.38 and
+    reflectivities (0.5, 0.25); each row normalized by its own max.
+    """
+    lambdas = wang_lambda_grid(w, lambda0, dlambda)
+    S = source_psd(lambdas, lambda0, dlambda)
+    imgi = np.zeros((h, w))
+    backg = np.zeros((h, w))
+    for ii in range(1, h + 1):
+        ls = (ii * 1e-6, (ii + 50) * 1e-6)
+        I_l = interferogram(lambdas, ls, rs, ns, +1.0, lambda0, dlambda)
+        imgi[ii - 1] = I_l / I_l.max()
+        backg[ii - 1] = S / S.max()
+    out = dict(imgi=imgi, backg=backg)
+    if quantize:
+        # octave imwrite of doubles → 16-bit PNG here
+        out = {k: np.round(v * 65535).astype(np.uint16) for k, v in out.items()}
+    return out
+
+
 @dataclasses.dataclass
 class SyntheticSource:
     """Continuous synthetic frame stream (the hardware-free live camera).

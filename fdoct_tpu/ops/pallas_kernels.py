@@ -1,0 +1,81 @@
+"""Pallas TPU kernels for the reconstruction hot path.
+
+The fused-operator path (pipeline.ascan_mags_fused) is two real MXU matmuls
+plus a magnitude.  XLA already schedules those well; this kernel goes one
+step further and fuses **matmul-pair → magnitude → frame accumulation** so
+the complex intermediate (re, im) never round-trips HBM and the
+per-frame-group accumulation (the reference's accumulate loop,
+BscanFFT.cpp:1193-1209) happens in the output block while it is resident in
+VMEM.
+
+Grid layout (row-major execution order):
+    (row_tiles, depth_tiles, batch)
+with the output block indexed by (row_tile, depth_tile) only — consecutive
+batch steps revisit the same output block, giving the accumulate-in-VMEM
+pattern (initialize at b == 0).  Operator tiles re/im are indexed by
+depth_tile only and frames by (batch, row_tile), so operator tiles are
+reused across the batch and row sweeps.
+
+Operands may be bfloat16 (halved HBM traffic, full-rate MXU) with float32
+accumulation via preferred_element_type.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _recon_kernel(yr_ref, mr_ref, mi_ref, out_ref):
+    b = pl.program_id(2)
+    re = jnp.dot(yr_ref[0], mr_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(yr_ref[0], mi_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = mag
+
+    @pl.when(b > 0)
+    def _accum():
+        out_ref[...] += mag
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "tile_depth", "interpret"))
+def fused_recon_accumulate(
+    yr: jnp.ndarray,       # (B, rows, n_in) apodization-ratio frames
+    op_re: jnp.ndarray,    # (n_in, ndisp)
+    op_im: jnp.ndarray,    # (n_in, ndisp)
+    tile_rows: int = 256,
+    tile_depth: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Σ_b |yr[b] @ (op_re + i·op_im)| — a full averaging group in one
+    kernel.  Returns (rows, ndisp) float32.
+
+    Shapes must tile evenly (pad rows/ndisp to multiples of the tile sizes;
+    the flagship configs are already 128-aligned).
+    """
+    B, rows, n_in = yr.shape
+    ndisp = op_re.shape[1]
+    tr = min(tile_rows, rows)
+    td = min(tile_depth, ndisp)
+    assert rows % tr == 0 and ndisp % td == 0, (rows, ndisp, tr, td)
+
+    grid = (rows // tr, ndisp // td, B)
+    return pl.pallas_call(
+        _recon_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr, n_in), lambda r, d, b: (b, r, 0)),
+            pl.BlockSpec((n_in, td), lambda r, d, b: (0, d)),
+            pl.BlockSpec((n_in, td), lambda r, d, b: (0, d)),
+        ],
+        out_specs=pl.BlockSpec((tr, td), lambda r, d, b: (r, d)),
+        out_shape=jax.ShapeDtypeStruct((rows, ndisp), jnp.float32),
+        interpret=interpret,
+    )(yr, op_re, op_im)

@@ -115,6 +115,31 @@ def ascan_mags(yr: jnp.ndarray, calib: Calibration, method: str = "fused") -> jn
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def reconstruct_group_pallas(raw_frames: jnp.ndarray, background: jnp.ndarray,
+                             pi_frame: jnp.ndarray, calib: Calibration,
+                             cfg: PipelineConfig,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Whole averaging group in one Pallas kernel: preprocess + ratio, then
+    fused matmul-pair → magnitude → accumulate without the complex
+    intermediate touching HBM (ops.pallas_kernels).  Returns the summed
+    (oph, ndisp) magnitudes (the reference's ``bscantransposed``).
+
+    Performance-equivalent to the XLA fused path on current XLA (both
+    ~1.0 ms / 8×512×2048 group on v5e); kept as the explicit-kernel
+    alternative.  Use ``interpret=True`` off-TPU.
+    """
+    from fdoct_tpu.ops.pallas_kernels import fused_recon_accumulate
+
+    y = preprocess(raw_frames, cfg)
+    yr = apodize_ratio(y, background, pi_frame, cfg)
+    tr = 256 if yr.shape[-2] % 256 == 0 else yr.shape[-2]
+    td = 256 if calib.ndisp % 256 == 0 else calib.ndisp
+    return fused_recon_accumulate(yr, calib.op_re, calib.op_im,
+                                  tile_rows=tr, tile_depth=td,
+                                  interpret=interpret).astype(yr.dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg", "method", "dtype"))
 def reconstruct(raw_frames: jnp.ndarray, background: jnp.ndarray,
                 pi_frame: jnp.ndarray, calib: Calibration,

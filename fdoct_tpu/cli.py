@@ -176,7 +176,9 @@ def cmd_offline(args) -> int:
 
 
 def cmd_viewport(args) -> int:
-    """Viewport saver: dump N raw frames as PNGs (ViewportSaver role)."""
+    """Viewport saver: dump N raw frames as PNGs (ViewportSaver role; for
+    color frames also applies the ViewportSaverc white balance and r/g/b
+    single-channel display toggle)."""
     from fdoct_tpu.sinks import RunWriter
 
     cfg = _load_cfg(args)
@@ -185,12 +187,38 @@ def cmd_viewport(args) -> int:
     it = iter(src.frames())
     for i in range(args.frames):
         frame = next(it)
+        peak = 255.0 if frame.dtype == np.uint8 else 65535.0
+        if frame.ndim == 3:
+            # white balance (ViewportSaverc: WB R/G/B from ini) in RGB order
+            wb = np.asarray([cfg.wb_red, cfg.wb_green, cfg.wb_blue])
+            frame = np.clip(frame * wb, 0, peak).astype(frame.dtype)
+            if args.channel in ("r", "g", "b"):
+                frame = frame[..., "rgb".index(args.channel)]
         if cfg.vgamma != 1.0:
-            peak = 255.0 if frame.dtype == np.uint8 else 65535.0
             frame = (np.clip((frame / peak) ** cfg.vgamma, 0, 1) * peak
                      ).astype(frame.dtype)
         sink.save_image(f"frame{i:03d}", frame)
     print(f"saved {args.frames} frames in {sink.dir}")
+    return 0
+
+
+def cmd_fps(args) -> int:
+    """Source frame-rate measurement (the Displayspin/Displayspinmt role:
+    fps over a measurement window, Displayspin.cpp:168-253)."""
+    from fdoct_tpu.utils.profiling import FpsMeter
+
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    meter = FpsMeter(window_s=args.window)
+    it = iter(src.frames())
+    import time
+    t_end = time.monotonic() + args.seconds
+    while time.monotonic() < t_end:
+        frame = next(it)
+        reading = meter.tick()
+        if reading is not None:
+            print(f"fps = {reading:.1f}  max intensity = {int(frame.max())}")
+    print(f"final fps = {meter.fps:.1f}")
     return 0
 
 
@@ -295,7 +323,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("viewport", help="save raw frames")
     common(sp)
     sp.add_argument("--frames", type=int, default=1)
+    sp.add_argument("--channel", default="", choices=["", "r", "g", "b"],
+                    help="single-channel display toggle (ViewportSaverc)")
     sp.set_defaults(fn=cmd_viewport)
+
+    sp = sub.add_parser("fps", help="measure source frame rate")
+    common(sp)
+    sp.add_argument("--seconds", type=float, default=5.0)
+    sp.add_argument("--window", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_fps)
 
     for mode in ("m", "mm", "ms"):
         sp = sub.add_parser(f"xml2{mode}", help=f"XML → .m ({mode})")

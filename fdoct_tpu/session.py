@@ -197,6 +197,28 @@ class Session:
             self._pending.add("ref")
         elif self.variant == "dark" and ch in ("t", "T"):
             self._pending.add("sample")
+        elif self.variant == "spinj" and ch in ("t", "T"):
+            self._start_trig("Trig")             # BscanFFTspinj.cpp:2338
+        elif self.variant == "spinj" and ch in ("k", "K"):
+            self._start_trig("KTrig")            # BscanFFTspinj.cpp:2332
+        elif self.variant == "spinj" and ch in ("|", "\\"):
+            self._start_trig("Alt")              # BscanFFTspinj.cpp:2345
+        elif self.variant == "spinj" and ch in ("y", "Y"):
+            self._spawn_offline_tool()           # BscanFFTspinj.cpp:2356-2412
+        elif self.variant == "spinj" and ch == "3":
+            self.averagestoggle += 1             # BscanFFTspinj.cpp:2541
+            self._say(f"Now averaging {self.averagestoggle} bscans.")
+        elif self.variant == "spinj" and ch == "#":
+            self.averagestoggle += 10
+            self._say(f"Now averaging {self.averagestoggle} bscans.")
+        elif self.variant == "spinj" and ch == "4":
+            if self.averagestoggle > 1:
+                self.averagestoggle -= 1
+            self._say(f"Now averaging {self.averagestoggle} bscans.")
+        elif self.variant == "spinj" and ch == "$":
+            self.averagestoggle = (self.averagestoggle - 10
+                                   if self.averagestoggle > 10 else 1)
+            self._say(f"Now averaging {self.averagestoggle} bscans.")
         else:
             for plugin in self.plugins:
                 if plugin.key(self, ch):
@@ -206,6 +228,61 @@ class Session:
         self.status.append(text)
         if len(self.status) > 100:
             del self.status[:50]
+
+    # ------------------------------------------------------------------
+    # spinj triggered batch capture + offline hand-off
+    # ------------------------------------------------------------------
+
+    def _start_trig(self, mode: str) -> None:
+        """Begin a triggered batch capture: the next ``manualaverages`` raw
+        frames are written as 16-bit Trig/KTrig PNGs ('Alt' alternates
+        signal/J0 per frame — the '|' hardware-trigger mode,
+        BscanFFTspinj.cpp:349-450)."""
+        if self.sink is None:
+            self._say("no sink; trig capture ignored")
+            return
+        self._trig = {"mode": mode, "count": 0,
+                      "n": max(self.cfg.manualaverages, 1),
+                      "set": getattr(self, "_trig_set", 0)}
+
+    def _spawn_offline_tool(self) -> None:
+        """fork/execv the offline reconstruction tool with argv
+        {dirname, manualaverages} (BscanFFTspinj.cpp:2389-2412); falls back
+        to this framework's own offline CLI when no tool is configured."""
+        import subprocess
+        import sys as _sys
+
+        dirname = str(self.sink.dir) if self.sink is not None else "."
+        if self.cfg.offline_tool_path:
+            cmd = [self.cfg.offline_tool_path, dirname,
+                   str(self.cfg.manualaverages)]
+        else:
+            cmd = [_sys.executable, "-m", "fdoct_tpu.cli", "offline",
+                   dirname, str(self.cfg.manualaverages)]
+        self._offline_proc = subprocess.Popen(cmd)
+        self._say(f"spawned offline tool for {dirname}")
+
+    def _handle_trig(self, raw: np.ndarray) -> None:
+        trig = getattr(self, "_trig", None)
+        if not trig or self.sink is None:
+            return
+        frame = np.asarray(raw)
+        if frame.dtype == np.uint8:
+            frame = frame.astype(np.uint16) << 8   # Mono16 convert
+        i = trig["count"]
+        if trig["mode"] == "Alt":
+            prefix = "Trig" if i % 2 == 0 else "KTrig"
+            name = f"{prefix}{trig['set']:03d}-{i // 2:03d}"
+        else:
+            name = f"{trig['mode']}{trig['set']:03d}-{i:03d}"
+        from fdoct_tpu.utils.imageio import write_png
+        write_png(self.sink.dir / f"{name}.png", frame)
+        trig["count"] += 1
+        total = trig["n"] * (2 if trig["mode"] == "Alt" else 1)
+        if trig["count"] >= total:
+            self._trig_set = trig["set"] + 1
+            self._say(f"{trig['mode']} capture {trig['set']:03d} done.")
+            self._trig = None
 
     # ------------------------------------------------------------------
     # per-frame processing (one reference hot-loop iteration)
@@ -228,6 +305,7 @@ class Session:
             ring["raw"].append(np.asarray(raw))
             ring["binned"].append(np.asarray(y))
 
+        self._handle_trig(raw)
         self._handle_captures(raw, y)
 
         # apodize + A-scan magnitudes

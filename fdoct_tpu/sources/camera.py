@@ -126,25 +126,50 @@ class CameraSource:
 
     background/pi frames are captured live by averaging (the 'b'/'p' key
     flow) — like real hardware, there is no oracle image to read.
+
+    Failure recovery (the reference has none — its SDK loops
+    ``goto failure`` and exit, BscanFFT.cpp:1991-1993): when the ring
+    starves and this source owns the daemon, the daemon is restarted up to
+    ``max_restarts`` times before giving up.
     """
 
     def __init__(self, ring_path: str | Path, daemon_args: list[str] | None = None,
                  width: int = 0, height: int = 0, bpp: int = 8,
-                 nslots: int = 16, fps: float = 100.0):
+                 nslots: int = 16, fps: float = 100.0,
+                 max_restarts: int = 2, starve_timeout_s: float = 5.0):
+        self.ring_path = ring_path
+        self.daemon_args = daemon_args
+        self._spawn_spec = (width, height, bpp, nslots, fps)
+        self.max_restarts = max_restarts
+        self.restarts = 0
+        self.starve_timeout_s = starve_timeout_s
         self.proc = None
         if daemon_args is not None:
-            exe = _NATIVE_DIR / "capture_daemon"
-            if not exe.exists():
-                _build_native()
-            cmd = [str(exe), str(ring_path), str(width), str(height),
-                   str(bpp), str(nslots), str(fps)] + daemon_args
-            self.proc = subprocess.Popen(cmd)
+            self._spawn()
         self.reader = RingReader(ring_path)
+
+    def _spawn(self) -> None:
+        exe = _NATIVE_DIR / "capture_daemon"
+        if not exe.exists():
+            _build_native()
+        width, height, bpp, nslots, fps = self._spawn_spec
+        cmd = [str(exe), str(self.ring_path), str(width), str(height),
+               str(bpp), str(nslots), str(fps)] + self.daemon_args
+        self.proc = subprocess.Popen(cmd)
 
     def frames(self) -> Iterator[np.ndarray]:
         while True:
-            frame = self.reader.latest()
+            frame = self.reader.latest(timeout_s=self.starve_timeout_s)
             if frame is None:
+                if (self.daemon_args is not None
+                        and self.restarts < self.max_restarts):
+                    # watchdog: daemon died or wedged — restart it
+                    self.restarts += 1
+                    if self.proc is not None:
+                        self.proc.kill()
+                        self.proc.wait(timeout=5)
+                    self._spawn()
+                    continue
                 raise TimeoutError("camera ring starved")
             yield frame
 

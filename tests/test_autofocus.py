@@ -1,0 +1,72 @@
+"""Dispersion autofocus tests: the sweep must recover a known chirp."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fdoct_tpu.autofocus import autofocused_calibration, sweep_volume
+from fdoct_tpu.calibration import Calibration
+from fdoct_tpu.config import PipelineConfig
+from fdoct_tpu.pipeline import ascan_mags_fused, reconstruct
+from fdoct_tpu.sources.synthetic import SyntheticSource, wang_lambda_grid
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(width=256, height=16, averages=1,
+                          numfftpoints=512, numdisplaypoints=160,
+                          lambdamin=816e-9, lambdamax=884e-9,
+                          dtype="float64", compat=True)
+
+
+def chirped_frames(cfg, a2_true):
+    """Synthesize interferograms whose fringes carry a known quadratic
+    phase (an unbalanced-dispersion sample)."""
+    calib = Calibration.create(cfg)
+    kl = np.asarray(calib.klinear)
+    kc = (kl[0] + kl[-1]) / 2
+    half = (kl[-1] - kl[0]) / 2
+    lambdas = wang_lambda_grid(cfg.width)
+    k = 2 * np.pi / lambdas
+    x = (k - kc) / half
+    z = 60e-6
+    S = np.exp(-0.5 * ((lambdas - 850e-9) / 17e-9) ** 2)
+    fringe = S * (1.25 + np.cos(2 * k * z + a2_true * x**2))
+    img = np.tile(fringe / fringe.max(), (cfg.height, 1))
+    bg = np.tile(S / S.max(), (cfg.height, 1))
+    frame = np.round(img * 255).astype(np.uint8)
+    return frame, np.maximum(bg * 255, 1.0)
+
+
+def peak_sharpness(mags):
+    a = mags[0][5:]
+    return a.max() / a.mean()
+
+
+class TestSweep:
+    def test_recovers_chirp_and_sharpens(self, cfg):
+        a2_true = 5.0
+        frame, bg = chirped_frames(cfg, a2_true)
+        calib = Calibration.create(cfg)
+        pi = jnp.zeros_like(jnp.asarray(bg))
+        grid = jnp.linspace(-8.0, 8.0, 33)
+        scores, best = sweep_volume(jnp.asarray(frame)[None], jnp.asarray(bg),
+                                    pi, calib, cfg, grid)
+        assert best == pytest.approx(-a2_true, abs=0.75)
+
+        # the autofocused operator must sharpen the A-scan peak
+        blurred = np.asarray(reconstruct(jnp.asarray(frame), jnp.asarray(bg),
+                                         pi, calib, cfg, "fused"))
+        calib2 = autofocused_calibration(cfg, best)
+        focused = np.asarray(reconstruct(jnp.asarray(frame), jnp.asarray(bg),
+                                         pi, calib2, cfg, "fused"))
+        assert peak_sharpness(focused) > 1.5 * peak_sharpness(blurred)
+
+    def test_zero_dispersion_prefers_zero(self, cfg):
+        frame, bg = chirped_frames(cfg, 0.0)
+        calib = Calibration.create(cfg)
+        pi = jnp.zeros_like(jnp.asarray(bg))
+        grid = jnp.linspace(-6.0, 6.0, 25)
+        _, best = sweep_volume(jnp.asarray(frame)[None], jnp.asarray(bg),
+                               pi, calib, cfg, grid)
+        assert abs(best) <= 0.5

@@ -1,0 +1,118 @@
+"""Failure-detection / recovery tests: camera watchdog, checkpoint/resume,
+dual-camera operation (the multicamtest role — the reference's two-camera
+experiment collapsed to 1-2 fps, README.md:66; per-daemon rings isolate
+each camera here)."""
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+needs_gxx = pytest.mark.skipif(shutil.which("g++") is None,
+                               reason="no C++ toolchain")
+
+NATIVE = Path(__file__).resolve().parents[1] / "native"
+
+
+@pytest.fixture(scope="module")
+def built():
+    subprocess.run(["make", "-C", str(NATIVE),
+                    "libfdoct_ring.so", "capture_daemon"],
+                   check=True, capture_output=True, timeout=180)
+
+
+@needs_gxx
+class TestWatchdog:
+    def test_daemon_killed_and_restarted(self, tmp_path, built):
+        from fdoct_tpu.sources.camera import CameraSource
+        src = CameraSource(tmp_path / "wd.ring", daemon_args=["--synthetic"],
+                           width=32, height=8, fps=500.0,
+                           max_restarts=2, starve_timeout_s=1.0)
+        try:
+            it = iter(src.frames())
+            next(it)
+            src.proc.kill()          # simulate a camera/daemon crash
+            src.proc.wait(timeout=5)
+            frame = next(it)         # watchdog must restart and recover
+            assert frame.shape == (8, 32)
+            assert src.restarts >= 1
+        finally:
+            src.close()
+
+    def test_gives_up_after_max_restarts(self, tmp_path, built):
+        from fdoct_tpu.sources.camera import CameraSource, RingWriter
+        # ring exists but nothing ever writes (no daemon ownership)
+        w = RingWriter(tmp_path / "dead.ring", 16, 8)
+        w.close()
+        src = CameraSource(tmp_path / "dead.ring", daemon_args=None,
+                           starve_timeout_s=0.2)
+        with pytest.raises(TimeoutError):
+            next(iter(src.frames()))
+        src.close()
+
+
+@needs_gxx
+class TestDualCamera:
+    def test_two_daemons_stream_independently(self, tmp_path, built):
+        from fdoct_tpu.sources.camera import CameraSource
+        a = CameraSource(tmp_path / "a.ring", daemon_args=["--synthetic"],
+                         width=32, height=8, fps=300.0)
+        b = CameraSource(tmp_path / "b.ring", daemon_args=["--synthetic"],
+                         width=64, height=4, fps=300.0)
+        try:
+            fa = next(iter(a.frames()))
+            fb = next(iter(b.frames()))
+            assert fa.shape == (8, 32) and fb.shape == (4, 64)
+            # both keep streaming (the reference's dual-camera fps collapse
+            # does not occur: each daemon owns its own device + ring)
+            for _ in range(5):
+                assert next(iter(a.frames())) is not None
+                assert next(iter(b.frames())) is not None
+        finally:
+            a.close()
+            b.close()
+
+
+class TestCheckpointResume:
+    def test_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        cfg = PipelineConfig(width=64, height=8, averages=2,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        s = Session(cfg)
+        s.data_yb = jnp.full((8, 64), 3.25)
+        s.bscanthreshold = -17.0
+        s.exposure_us = 4242
+        s.ascanat = 5
+        p = save_session(s, tmp_path / "ckpt.npz")
+
+        s2 = load_session(p)
+        assert s2.cfg == cfg
+        assert np.allclose(np.asarray(s2.data_yb), 3.25)
+        assert s2.bscanthreshold == -17.0
+        assert s2.exposure_us == 4242 and s2.ascanat == 5
+
+    def test_resumed_session_processes(self, tmp_path):
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.sources.synthetic import SyntheticSource
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        cfg = PipelineConfig(width=64, height=8, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = SyntheticSource(height=8, width=64, depths_um=(20.0,))
+        s = Session(cfg)
+        s.key("b")
+        it = iter(src.frames())
+        r1 = s.process(next(it))
+        p = save_session(s, tmp_path / "c2.npz")
+        s2 = load_session(p)
+        r2 = s2.process(next(it))
+        assert np.allclose(r1.bscan, r2.bscan)  # identical state → identical output

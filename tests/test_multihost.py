@@ -1,0 +1,53 @@
+"""Two-process multi-host test: real jax.distributed + Gloo collectives.
+
+The moral equivalent of multi-host TPU: two OS processes, each owning one
+CPU device, join a global mesh; the sharded B-scan step's psum/pmin/pmax
+collectives cross the process boundary.  Skipped if distributed CPU init is
+unavailable in the environment.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+HERE = Path(__file__).resolve().parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_bscan_parity():
+    port = str(_free_port())
+    worker = str(HERE / "multihost_worker.py")
+    import os
+    env = {**os.environ, "PYTHONPATH": f"{HERE.parent}:{HERE}"}
+    # conftest forces 8 virtual devices per process; the 2-host emulation
+    # wants exactly 1 local device each
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=150)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed CPU init hung in this environment")
+    rc0, out0, err0 = outs[0]
+    if rc0 != 0 and "MISMATCH" not in err0:
+        pytest.skip(f"distributed init unavailable: {err0[-500:]}")
+    assert rc0 == 0, err0[-1000:]
+    assert "MULTIHOST_OK" in out0
+    assert outs[1][0] == 0, outs[1][2][-1000:]

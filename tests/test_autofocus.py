@@ -52,7 +52,9 @@ class TestSweep:
         grid = jnp.linspace(-8.0, 8.0, 33)
         scores, best = sweep_volume(jnp.asarray(frame)[None], jnp.asarray(bg),
                                     pi, calib, cfg, grid)
-        assert best == pytest.approx(-a2_true, abs=0.75)
+        # the displayed positive-depth peak is the conjugate fringe branch
+        # under the ifft convention, so the winning compensation is +a2
+        assert best == pytest.approx(a2_true, abs=0.75)
 
         # the autofocused operator must sharpen the A-scan peak
         blurred = np.asarray(reconstruct(jnp.asarray(frame), jnp.asarray(bg),

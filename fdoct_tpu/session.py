@@ -132,7 +132,11 @@ class Session:
         if ch in ("\x1b", "x", "X"):
             self.done = True
         elif ch in self._EXPOSURE_KEYS:
-            self.exposure_us = max(0, self.exposure_us + self._EXPOSURE_KEYS[ch])
+            # Spinnaker has an 8 µs exposure floor (BscanFFTspinjnt '-' key
+            # clamps camtime to 8); QHY clamps at 0 (BscanFFT.cpp:1623-1624)
+            floor = 8 if self.variant == "spinj" else 0
+            self.exposure_us = max(floor,
+                                   self.exposure_us + self._EXPOSURE_KEYS[ch])
             if self.camera:
                 self.camera("exposure", self.exposure_us)
             self._say(f"Exp time = {self.exposure_us} ")
@@ -205,6 +209,16 @@ class Session:
             self._start_trig("Alt")              # BscanFFTspinj.cpp:2345
         elif self.variant == "spinj" and ch in ("y", "Y"):
             self._spawn_offline_tool()           # BscanFFTspinj.cpp:2356-2412
+        elif self.variant == "spinj" and ch in ("1", "!"):
+            self.gain += 1                       # BscanFFTspinjnt.cpp:2188
+            if self.camera:
+                self.camera("gain", self.gain)
+            self._say(f"Gain = {self.gain}")
+        elif self.variant == "spinj" and ch in ("2", "@"):
+            self.gain = max(0, self.gain - 1)
+            if self.camera:
+                self.camera("gain", self.gain)
+            self._say(f"Gain = {self.gain}")
         elif self.variant == "spinj" and ch == "3":
             self.averagestoggle += 1             # BscanFFTspinj.cpp:2541
             self._say(f"Now averaging {self.averagestoggle} bscans.")
@@ -324,8 +338,35 @@ class Session:
 
     # ------------------------------------------------------------------
     def _capture_background(self, y: jnp.ndarray) -> None:
-        """'b' background accumulation (BscanFFT.cpp:1000-1075)."""
+        """'b' background accumulation (BscanFFT.cpp:1000-1075).
+
+        With saveinterferograms on, the reference instead averages the
+        formerly-active ring buffer's binned frames and saves the raw ones
+        as rawframeb PNGs (BscanFFT.cpp:1003-1037)."""
         cfg = self.cfg
+        if cfg.saveinterferograms:
+            inactive = self._rings[1 if self.zeroisactive else 0]
+            if len(inactive["binned"]) >= self.averagestoggle:
+                if self.sink is not None:
+                    for ii, raw in enumerate(inactive["raw"][: self.averagestoggle]):
+                        self.sink.save_image(
+                            f"rawframeb{self.indexi:03d}-{ii:03d}", raw)
+                acc = jnp.sum(jnp.stack(
+                    [jnp.asarray(b, y.dtype)
+                     for b in inactive["binned"][: self.averagestoggle]]), axis=0)
+                yb = acc
+                if cfg.rowwisenormalize:
+                    yb = normalize_rows(yb, 0.0001, 1.0)
+                if not cfg.donotnormalize:
+                    yb = normalize_minmax(yb, 0.0001, 1.0)
+                else:
+                    yb = yb / self.averagestoggle
+                self.data_yb = yb
+                self._pending.discard("b")
+                self._say("S(k) saved.")
+                if cfg.manualaveraging:
+                    self.averagestoggle = 1
+            return
         if self.baccumcount < self.averagestoggle:
             self.baccum = self.baccum + y
             self.baccumcount += 1

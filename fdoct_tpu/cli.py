@@ -49,9 +49,11 @@ def _make_source(args, cfg):
             pi_image=(args.pi or
                       (base / "piimgi.png" if (base / "piimgi.png").exists() else None)),
         )
+    # the wang λ grid spans λ0 ± 2σ_λ with σ_λ = FWHM/2.3548, so the
+    # configured [λmin, λmax] range implies FWHM = range·2.3548/4
     return SyntheticSource(height=cfg.height, width=cfg.width,
                            lambda0=cfg.lambda0,
-                           dlambda=cfg.lambdabw / (2 * 2.3548) * 2.3548)
+                           dlambda=cfg.lambdabw * 2.3548 / 4.0)
 
 
 def cmd_sim(args) -> int:

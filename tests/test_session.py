@@ -80,6 +80,20 @@ class TestCaptures:
         frame = next(iter(src.frames())).astype(np.float64)
         assert np.allclose(np.asarray(s.data_yp), frame)
 
+    def test_background_capture_from_ring(self, cfg, src, tmp_path):
+        """With saveinterferograms on, 'b' averages the formerly-active
+        ring buffer and saves rawframeb PNGs (BscanFFT.cpp:1003-1037)."""
+        from fdoct_tpu.sinks import RunWriter
+        cfg2 = cfg.replace(saveinterferograms=True)
+        sink = RunWriter(tmp_path, "ringbg")
+        s = Session(cfg2, sink=sink)
+        feed(s, src, 3)          # fill group 1 → becomes the inactive ring
+        s.key("b")
+        feed(s, src, 1)          # capture consumes the ring immediately
+        frame = next(iter(src.frames())).astype(np.float64)
+        assert np.allclose(np.asarray(s.data_yb), frame, atol=1e-9)
+        assert (sink.dir / "rawframeb000-000.png").exists()
+
     def test_sim_variant_reads_source_calibration(self, cfg, src):
         s = Session(cfg, variant="sim", source=src)
         s.key("b")

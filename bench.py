@@ -33,7 +33,8 @@ CACHE = ROOT / "native" / ".baseline_cache.json"
 
 ROWS, COLS, NFFT, NDISP = 512, 2048, 2048, 512
 BATCH = 8          # frames per group (averages)
-WARMUP, ITERS = 5, 50
+GROUPS = 8         # groups per dispatch (lax.scan driver)
+WARMUP, ITERS = 3, 12
 
 
 def cpp_baseline_ascans_per_sec() -> float:
@@ -81,40 +82,41 @@ def main() -> None:
     dev = jax.devices()[0]
 
     rng = np.random.default_rng(0)
-    host_batches = [
-        rng.integers(0, 255, (BATCH, ROWS, COLS)).astype(np.uint8)
-        for _ in range(4)
-    ]
+    host = rng.integers(0, 255, (GROUPS, BATCH, ROWS, COLS)).astype(np.uint8)
     background = jax.device_put(jnp.full((ROWS, COLS), 128.0, jnp.float32), dev)
     pi_frame = jax.device_put(jnp.zeros((ROWS, COLS), jnp.float32), dev)
 
-    @jax.jit
     def group_step(frames):
         mags = reconstruct(frames, background, pi_frame, calib, cfg,
                            method="fused")
         return form_bscan(mags.sum(axis=0), cfg, averages=BATCH).bscandisp
 
+    # GROUPS averaging groups per dispatch — the production streaming shape
+    # (a driver that queues group chains); amortizes per-call overhead,
+    # which in this environment includes the dev-tunnel RPC latency
+    @jax.jit
+    def scan_groups(all_frames):
+        return jax.lax.scan(lambda c, fr: (c, group_step(fr)), 0, all_frames)[1]
+
     # ---- chip throughput on device-resident batches ----
-    dev_batches = [jax.device_put(b, dev) for b in host_batches]
-    for b in dev_batches:
-        group_step(b).block_until_ready()        # compile + warm
-    for i in range(WARMUP):
-        group_step(dev_batches[i % 4]).block_until_ready()
+    frames = jax.device_put(host, dev)
+    scan_groups(frames).block_until_ready()      # compile
+    for _ in range(WARMUP):
+        scan_groups(frames).block_until_ready()
     t0 = time.perf_counter()
     out = None
-    for i in range(ITERS):
-        out = group_step(dev_batches[i % 4])
+    for _ in range(ITERS):
+        out = scan_groups(frames)
     out.block_until_ready()
     dt = time.perf_counter() - t0
-    ascans = ITERS * BATCH * ROWS / dt
+    ascans = ITERS * GROUPS * BATCH * ROWS / dt
 
     # ---- informational: tunnel-inclusive streaming number ----
     t0 = time.perf_counter()
-    for i in range(4):
-        out = group_step(jax.device_put(host_batches[i % 4], dev))
+    out = scan_groups(jax.device_put(host, dev))
     out.block_until_ready()
     dt_stream = time.perf_counter() - t0
-    stream_ascans = 4 * BATCH * ROWS / dt_stream
+    stream_ascans = GROUPS * BATCH * ROWS / dt_stream
     print(f"info: tunnel-inclusive streaming = {stream_ascans:.0f} ascans/s "
           f"(dev tunnel, not representative of local host feed)",
           file=sys.stderr)

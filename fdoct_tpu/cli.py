@@ -65,9 +65,26 @@ def cmd_sim(args) -> int:
     src = _make_source(args, cfg)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
     s = Session(cfg, variant="sim", sink=sink, source=src, method=args.method)
+    from fdoct_tpu.plugins import JMaskPlugin
+    s.plugins.append(JMaskPlugin())      # the sim J-threshold mask path
     s.key("b")
     s.key("p")
     it = iter(src.frames())
+
+    if args.debug_dump:
+        # first-iteration intermediate dump for the Octave cross-check flow
+        # (BscanFFTsim.cpp:901-909 saves data_ylin + nearestkindex)
+        import jax.numpy as jnp
+        from fdoct_tpu.pipeline import apodize_ratio, linearize, preprocess
+        first = next(iter(src.frames()))
+        y = preprocess(jnp.asarray(first), cfg)
+        bgp = preprocess(jnp.asarray(src.background()), cfg)
+        pip = preprocess(jnp.asarray(src.pi_frame()), cfg)
+        yr = apodize_ratio(y, bgp.astype(y.dtype), pip.astype(y.dtype), cfg)
+        ylin = linearize(yr, s.calib)
+        sink.save_data("debugzpaddedlin", np.asarray(ylin))
+        sink.save_data("nearestkindex", np.asarray(s.calib.nearest_idx)[None, :])
+
     shown = 0
     for _ in range(args.frames):
         s.key("s")
@@ -299,6 +316,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sim", help="replay reconstruction")
     common(sp)
     sp.add_argument("--frames", type=int, default=1)
+    sp.add_argument("--debug-dump", action="store_true",
+                    help="save first-frame linearized spectrum + "
+                         "nearestkindex (BscanFFTsim debug dump)")
     sp.set_defaults(fn=cmd_sim)
 
     sp = sub.add_parser("live", help="streaming session")

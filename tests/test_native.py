@@ -71,6 +71,21 @@ class TestRing:
         w.close(); r.close()
 
 
+class TestSanitizers:
+    def test_ring_stress_tsan_clean(self):
+        """Concurrent writer + 3 readers under ThreadSanitizer: zero torn
+        reads, zero race reports (the reference's only threading attempt
+        had an acknowledged unsynchronized-global race,
+        Displayspinmt.cpp:72)."""
+        subprocess.run(["make", "-C", str(NATIVE), "tsan"],
+                       check=True, capture_output=True, timeout=120)
+        r = subprocess.run([str(NATIVE / "ring_stress_tsan")],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "WARNING: ThreadSanitizer" not in r.stdout + r.stderr
+        assert "torn=0" in r.stdout
+
+
 class TestDaemon:
     def test_synthetic_daemon_streams(self, tmp_path):
         from fdoct_tpu.sources.camera import CameraSource

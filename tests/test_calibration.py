@@ -88,6 +88,28 @@ class TestResample:
         R = resample_matrix(g["nearest_idx"], g["frac"], n_in, compat=False)
         assert np.allclose(y @ R, gather, atol=1e-12)
 
+    def test_clamp_regime_when_n_in_exceeds_nfft(self, rng):
+        """When opw·mult > nfft the reference reads fractionalk out of
+        bounds (PARITY.md D1); our compat clamp must keep gather, matrix
+        and oracle consistent."""
+        cfg = PipelineConfig(width=256, height=4, numfftpoints=192,
+                             numdisplaypoints=64,
+                             increasefftpointsmultiplier=2,
+                             dtype="float64", compat=True)
+        g = reference_grids(cfg)
+        n_in = cfg.opw * 2
+        assert n_in > cfg.numfftpoints
+        assert g["nearest_idx"].max() >= cfg.numfftpoints  # clamp engaged
+        y = rng.normal(size=(3, n_in))
+        gather = np.asarray(resample_klinear(
+            jnp.asarray(y), jnp.asarray(g["nearest_idx"]),
+            jnp.asarray(g["frac"]), compat=True))
+        R = resample_matrix(g["nearest_idx"], g["frac"], n_in, compat=True)
+        want = oracle.klinear_interp(y, g["nearest_idx"], g["frac"],
+                                     cfg.numfftpoints)
+        assert np.allclose(gather, want, atol=1e-12)
+        assert np.allclose(y @ R, gather, atol=1e-12)
+
     def test_row_slopes(self, rng):
         y = rng.normal(size=(2, 10))
         s = np.asarray(row_slopes(jnp.asarray(y)))

@@ -48,6 +48,49 @@ class TestFixtureRegeneration:
         assert np.mean(rel <= 1e-3) > 0.99, float(rel.max())
 
 
+class TestProductionConfigEndToEnd:
+    def test_reference_qhy_config_reconstructs(self):
+        """Full pipeline on the reference's shipped BscanFFT.ini values
+        (320×240, bin 2, nfft 2560, ×4 zero-pad, 320 display points):
+        gather and fused paths must agree and resolve a known scatterer."""
+        from fdoct_tpu.calibration import Calibration
+        from fdoct_tpu.config import read_ini
+        from fdoct_tpu.pipeline import reconstruct
+        from fdoct_tpu.sources.synthetic import SyntheticSource
+
+        cfg = read_ini(REF / "build" / "BscanFFT.ini", "base").replace(
+            dtype="float64", compat=True,
+            # the shipped λ range (840.5-859.5 nm); keep as parsed
+        )
+        assert cfg.numfftpoints == 2560 and cfg.increasefftpointsmultiplier == 4
+        calib = Calibration.create(cfg)
+        assert calib.n_in == cfg.opw * 4
+
+        src = SyntheticSource(height=cfg.height, width=cfg.width,
+                              lambda0=cfg.lambda0,
+                              dlambda=cfg.lambdabw * 2.3548 / 4,
+                              depths_um=(60.0,), reflectivities=(0.5,))
+        raw = next(iter(src.frames()))
+        bg = np.maximum(src.background(), 1).astype(np.float64)
+        # background captured post-binning in the live flow
+        from fdoct_tpu.pipeline import preprocess
+        bgb = np.asarray(preprocess(jnp.asarray(bg), cfg))
+        pib = np.zeros_like(bgb)
+        a = np.asarray(reconstruct(jnp.asarray(raw), jnp.asarray(bgb),
+                                   jnp.asarray(pib), calib, cfg, "gather"))
+        b = np.asarray(reconstruct(jnp.asarray(raw), jnp.asarray(bgb),
+                                   jnp.asarray(pib), calib, cfg, "fused"))
+        assert a.shape == (cfg.oph, cfg.numdisplaypoints)
+        assert np.allclose(a, b, rtol=1e-7, atol=1e-7 * a.max())
+        # scatterer resolved: one clear peak outside DC
+        ascan = a[10].copy()
+        ascan[:6] = 0
+        peak_bin = int(np.argmax(ascan))
+        expect = 60e-6 * (np.asarray(calib.klinear)[-1]
+                          - np.asarray(calib.klinear)[0]) / np.pi
+        assert abs(peak_bin - expect) <= 3, (peak_bin, float(expect))
+
+
 class TestReferenceIniConfigs:
     @pytest.mark.parametrize("ini,variant", [
         ("BscanFFT.ini", "base"),

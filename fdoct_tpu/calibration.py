@@ -130,6 +130,7 @@ class Calibration:
     def create(cls, cfg: PipelineConfig, dtype: Any = None) -> "Calibration":
         """Build all tables on host in float64, then cast to ``dtype``
         (default: cfg.dtype) for device residence."""
+        cfg.validate()
         dtype = jnp.dtype(dtype or cfg.dtype)
         g = reference_grids(cfg)
         opw = cfg.opw

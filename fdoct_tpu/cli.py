@@ -56,6 +56,22 @@ def _make_source(args, cfg):
                            dlambda=cfg.lambdabw * 2.3548 / 4.0)
 
 
+def _autosize(cfg, src):
+    """Adapt the config to the source's actual frame size (the webcam
+    variant auto-detects w/h from the first frame,
+    BscanFFTwebcam.cpp:524-546)."""
+    first = next(iter(src.frames()))
+    h, w = first.shape[:2]
+    if (cfg.height, cfg.width) == (h, w):
+        return cfg
+    cfg = cfg.replace(width=w, height=h)
+    bx = max(cfg.binvalue, cfg.binvaluex, 1)
+    by = max(cfg.binvalue, cfg.binvaluey, 1)
+    if w % bx or h % by:
+        cfg = cfg.replace(binvalue=1, binvaluex=1, binvaluey=1)
+    return cfg
+
+
 def cmd_sim(args) -> int:
     """Replay reconstruction (BscanFFTsim.cpp role)."""
     from fdoct_tpu.session import Session
@@ -63,6 +79,8 @@ def cmd_sim(args) -> int:
 
     cfg = _load_cfg(args).replace(donotnormalize=False)  # sim normalizes input
     src = _make_source(args, cfg)
+    if getattr(args, "image", None):
+        cfg = _autosize(cfg, src)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
     s = Session(cfg, variant="sim", sink=sink, source=src, method=args.method)
     from fdoct_tpu.plugins import JMaskPlugin

@@ -128,6 +128,29 @@ class PipelineConfig:
     def replace(self, **kw: Any) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "PipelineConfig":
+        """Raise ValueError on inconsistent geometry/spectral settings (the
+        reference silently misbehaves on these; e.g. non-divisible binning
+        truncates, numdisplaypoints > nfft reads past the magnitude rows)."""
+        errs = []
+        bx = max(self.binvalue, self.binvaluex, 1)
+        by = max(self.binvalue, self.binvaluey, 1)
+        if self.width % bx or self.height % by:
+            errs.append(f"frame {self.width}x{self.height} not divisible by "
+                        f"binning {bx}x{by}")
+        if not (0 < self.lambdamin < self.lambdamax):
+            errs.append(f"bad λ range [{self.lambdamin}, {self.lambdamax}]")
+        if self.numdisplaypoints > self.numfftpoints:
+            errs.append(f"numdisplaypoints {self.numdisplaypoints} > "
+                        f"numfftpoints {self.numfftpoints}")
+        if self.numfftpoints < 2 or self.averages < 1:
+            errs.append("numfftpoints must be >= 2 and averages >= 1")
+        if self.increasefftpointsmultiplier < 1:
+            errs.append("increasefftpointsmultiplier must be >= 1")
+        if errs:
+            raise ValueError("; ".join(errs))
+        return self
+
     # ---------------------------- JSON ---------------------------------
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

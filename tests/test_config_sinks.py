@@ -153,3 +153,20 @@ class TestColormap:
         img = rng.integers(0, 255, (4, 4)).astype(np.uint8)
         rgb = apply_jet(img)
         assert rgb.shape == (4, 4, 3) and rgb.dtype == np.uint8
+
+
+class TestValidation:
+    def test_valid_config_passes(self):
+        PipelineConfig(width=128, height=64, binvalue=2).validate()
+
+    def test_bad_binning(self):
+        with pytest.raises(ValueError, match="not divisible"):
+            PipelineConfig(width=130, height=64, binvalue=4).validate()
+
+    def test_bad_lambda_range(self):
+        with pytest.raises(ValueError, match="range"):
+            PipelineConfig(lambdamin=900e-9, lambdamax=800e-9).validate()
+
+    def test_display_exceeds_fft(self):
+        with pytest.raises(ValueError, match="numdisplaypoints"):
+            PipelineConfig(numfftpoints=128, numdisplaypoints=256).validate()

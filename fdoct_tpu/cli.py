@@ -122,8 +122,14 @@ def cmd_live(args) -> int:
 
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
+    if getattr(args, "image", None):
+        cfg = _autosize(cfg, src)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
     s = Session(cfg, sink=sink, source=src, method=args.method)
+    viewer = None
+    if args.viewer:
+        from fdoct_tpu.viewer import Viewer
+        viewer = Viewer(mode=args.viewer_mode, outdir=args.viewer)
     it = iter(src.frames())
     import select
 
@@ -132,8 +138,11 @@ def cmd_live(args) -> int:
         if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
             for ch in sys.stdin.readline().rstrip("\n"):
                 s.key(ch)
-        r = s.process(next(it))
+        raw = next(it)
+        r = s.process(raw)
         n += 1
+        if viewer is not None:
+            viewer.show_session_frame(s, raw, r)
         if r is not None and args.verbose:
             print(f"bscan group done (n={n}), peak "
                   f"{r.bscandb.max():.1f} dB", file=sys.stderr)
@@ -343,6 +352,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--frames", type=int, default=0, help="0 = until 'x' key")
     sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--viewer", default="",
+                    help="render display windows into this directory")
+    sp.add_argument("--viewer-mode", default="files",
+                    choices=["files", "mpl"])
     sp.set_defaults(fn=cmd_live)
 
     sp = sub.add_parser("capture", help="batch capture Trig sets")

@@ -104,6 +104,16 @@ def ascan_mags_fused(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
     return jnp.sqrt(re * re + im * im)
 
 
+def ascan_complex(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
+    """Complex A-scans (phase-resolved OCT / Doppler use): the fused
+    operator's (re, im) pair before the magnitude.  No reference equivalent
+    (the reference discards phase at BscanFFT.cpp:1190); exposed because
+    the fused path computes it for free."""
+    re = jnp.matmul(yr, calib.op_re, preferred_element_type=yr.dtype)
+    im = jnp.matmul(yr, calib.op_im, preferred_element_type=yr.dtype)
+    return jax.lax.complex(re, im)
+
+
 def ascan_mags(yr: jnp.ndarray, calib: Calibration, method: str = "fused") -> jnp.ndarray:
     if method == "fused":
         return ascan_mags_fused(yr, calib)

@@ -92,7 +92,12 @@ class Session:
         # --- control state (the reference's flags/counters) ---
         self.averages = cfg.averages
         self.averagestoggle = cfg.averages            # BscanFFT.cpp:481
-        self.bscanthreshold = cfg.bscanthreshold
+        # the simulator display skips the threshold floor entirely
+        # (BscanFFTsim.cpp:1131 block normalizes bscandisp directly, no
+        # max(bscandisp, bscanthreshold)); -inf makes the floor a no-op
+        # while '['/']' still adjust it if the user wants one
+        self.bscanthreshold = (-np.inf if variant == "sim"
+                               else cfg.bscanthreshold)
         self.exposure_us = cfg.exposure_us
         self.gain = cfg.gain
         self.ascanat = 20                             # BscanFFT.cpp:362

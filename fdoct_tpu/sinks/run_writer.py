@@ -76,6 +76,8 @@ class RunWriter:
         '% Parameters were - camgain, camtime, bpp, w, h, camspeed,
         usbtraffic, binvalue, bscanthreshold')."""
         th = cfg.bscanthreshold if bscanthreshold is None else bscanthreshold
+        if not np.isfinite(th):
+            th = -999.0  # sim variant disables the floor (-inf)
         self._footer = [
             "% Parameters were - camgain, camtime, bpp, w , h , camspeed, "
             "usbtraffic, binvalue, bscanthreshold",

@@ -53,10 +53,26 @@ class TestSim:
         b = read_png(run / "bscan001.png").astype(float)
         # staircase phantom: deeper scatterers for later lateral blocks →
         # the bright-pixel depth centroid must increase across the image
+        assert b.max() > 128, "display must have dynamic range (not black)"
         depth_idx = np.arange(b.shape[0])[:, None]
         w = np.maximum(b - np.percentile(b, 90), 0)
         centroid = (depth_idx * w).sum(0) / np.maximum(w.sum(0), 1e-9)
         assert centroid[35] > centroid[5]
+
+    def test_sim_on_reference_16bit_fixture(self, tmp_path):
+        import os
+        fix = Path("/root/reference/Matlab files")
+        if not fix.exists():
+            pytest.skip("reference not mounted")
+        rc = main(["sim", "--image", str(fix / "imgi.png"),
+                   "--background", str(fix / "backg.png"),
+                   "--outdir", str(tmp_path), "--frames", "1"])
+        assert rc == 0
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        from fdoct_tpu.utils.imageio import read_png
+        b = read_png(run / "bscan001.png")
+        assert b.shape[1] == 96            # lateral = fixture rows
+        assert b.max() > 128               # not black: sim skips the floor
 
 
 class TestCaptureOffline:

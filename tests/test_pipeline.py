@@ -113,6 +113,46 @@ class TestOracleParity:
         assert np.allclose(np.asarray(out.bscan), np.asarray(single.bscan), rtol=1e-12)
 
 
+class TestComplexAscans:
+    def test_complex_magnitude_matches_mags(self, sim_cfg, sim_frames):
+        from fdoct_tpu.pipeline import (
+            apodize_ratio, ascan_complex, ascan_mags_fused, preprocess)
+        import jax.numpy as jnp
+        raw, backg, piimg = sim_frames
+        calib = Calibration.create(sim_cfg)
+        y = preprocess(jnp.asarray(raw), sim_cfg)
+        yr = apodize_ratio(y, jnp.asarray(backg, jnp.float64),
+                           jnp.asarray(piimg, jnp.float64), sim_cfg)
+        z = ascan_complex(yr, calib)
+        mags = ascan_mags_fused(yr, calib)
+        assert np.allclose(np.abs(np.asarray(z)), np.asarray(mags), rtol=1e-12)
+
+    def test_phase_shift_detectable(self, sim_cfg):
+        """Sub-resolution displacement shows up as A-scan phase change at
+        the peak (the phase-resolved OCT principle)."""
+        from fdoct_tpu.pipeline import apodize_ratio, ascan_complex, preprocess
+        import jax.numpy as jnp
+        dz = 20e-9  # 20 nm — far below the depth resolution
+        a = SyntheticSource(height=4, width=sim_cfg.width, depths_um=(40.0,))
+        b = SyntheticSource(height=4, width=sim_cfg.width,
+                            depths_um=(40.0 + dz * 1e6,))
+        cfg = sim_cfg.replace(height=4)
+        calib = Calibration.create(cfg)
+        bgd = jnp.asarray(np.maximum(a.background(), 1).astype(np.float64))
+        pid = jnp.zeros_like(bgd)
+        za, zb = [
+            np.asarray(ascan_complex(apodize_ratio(
+                preprocess(jnp.asarray(next(iter(s.frames()))), cfg),
+                bgd, pid, cfg), calib))
+            for s in (a, b)
+        ]
+        peak = int(np.argmax(np.abs(za[0])[5:])) + 5
+        dphi = np.angle(zb[0][peak] / za[0][peak])
+        # expected Δφ = 2·k0·Δz (double-pass)
+        expect = 2 * (2 * np.pi / cfg.lambda0) * dz
+        assert abs(abs(dphi) - expect) < 0.5 * expect, (dphi, expect)
+
+
 class TestPhysics:
     def _depth_bin(self, cfg, depth_m, calib):
         """Expected depth bin: fringe frequency over the k grid.

@@ -123,6 +123,11 @@ class Session:
                        1: {"bscan": [], "raw": [], "binned": []}}
         self.plugins: list[Any] = []
         self.status: list[str] = []
+        if variant == "peak":
+            # the vibrometry key set is integral to the peak variant
+            from fdoct_tpu.plugins.vibrometry import VibrometryPlugin
+            self.plugins.append(
+                VibrometryPlugin(cfg.lambda0, cfg.peakholdnumframes))
 
     # ------------------------------------------------------------------
     # key dispatch (reference: BscanFFT.cpp:1584-1917, keyboardshortcuts.txt)

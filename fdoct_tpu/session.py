@@ -467,9 +467,11 @@ class Session:
             bscandisp=np.asarray(out.bscandisp), index=self.indexi,
         )
 
-        # J-lockin subtraction (BscanFFT.cpp:1225-1232, 1257-1282)
+        # J-lockin subtraction (BscanFFT.cpp:1225-1232, 1257-1282).
+        # The sim variant does J-threshold *masking* instead (JMaskPlugin,
+        # BscanFFTsim.cpp:959-975), not the dB subtraction.
         sub_db = None
-        if self.jlockin and self.jscansave is not None:
+        if self.jlockin and self.jscansave is not None and self.variant != "sim":
             jdiff = out.bscan - self.jscansave
             positive = make_only_positive(jdiff) + 0.001
             sub_db = to_db(positive, eps=0.0, compat=cfg.compat)

@@ -62,7 +62,8 @@ def read_xml(path: str | Path) -> tuple[dict[str, np.ndarray], dict[str, float]]
         arr = data.astype(dtype).reshape(int(m.group("rows")), int(m.group("cols")))
         mats[m.group("name")] = arr
     scalars = {}
+    structural = {"rows", "cols", "dt"} | set(mats)
     for m in _SCALAR_RE.finditer(text):
-        if m.group("name") not in mats:
+        if m.group("name") not in structural:
             scalars[m.group("name")] = float(m.group("val"))
     return mats, scalars

@@ -83,7 +83,6 @@ class PipelineConfig:
     binvaluey: int = 1
     bscanbinx: int = 1
     bscanbiny: int = 1
-    multiplyfactor: float = 1.0
     offline_tool_path: str = ""
 
     # --- viewport variants ---

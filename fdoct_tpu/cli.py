@@ -298,6 +298,39 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Dispersion autofocus over a replay/synthetic source: sweep a2 on a
+    frame, report the winner, optionally write the focused B-scan."""
+    import jax.numpy as jnp
+
+    from fdoct_tpu.autofocus import autofocused_calibration, sweep_volume
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.pipeline import form_bscan, preprocess, reconstruct
+    from fdoct_tpu.utils.colormap import apply_jet
+    from fdoct_tpu.utils.imageio import write_png
+
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    if getattr(args, "image", None):
+        cfg = _autosize(cfg, src)
+    calib = Calibration.create(cfg)
+    raw = next(iter(src.frames()))
+    bg = preprocess(jnp.asarray(src.background()), cfg)
+    bg = jnp.maximum(bg, 1.0)
+    pi = jnp.zeros_like(bg)
+    grid = jnp.linspace(args.a2_min, args.a2_max, args.steps)
+    scores, best = sweep_volume(jnp.asarray(raw)[None], bg, pi, calib, cfg, grid)
+    print(f"best a2 = {best:+.3f}  (scores "
+          f"{float(scores.min()):.3e}..{float(scores.max()):.3e})")
+    if args.out:
+        calib2 = autofocused_calibration(cfg, best)
+        mags = reconstruct(jnp.asarray(raw), bg, pi, calib2, cfg, args.method)
+        disp = form_bscan(mags, cfg, 1).bscandisp
+        write_png(args.out, apply_jet(np.asarray(disp)))
+        print(f"focused B-scan written to {args.out}")
+    return 0
+
+
 def cmd_configedit(args) -> int:
     """Edit fields of a positional ini in place (the role of the reference's
     Octave GUI editors build/editini.m / editiniadv.m, which poke specific
@@ -393,6 +426,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("sweep", help="dispersion autofocus sweep")
+    common(sp)
+    sp.add_argument("--a2-min", type=float, default=-8.0)
+    sp.add_argument("--a2-max", type=float, default=8.0)
+    sp.add_argument("--steps", type=int, default=33)
+    sp.add_argument("--out", default="", help="write focused B-scan PNG here")
+    sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("configedit", help="view/edit ini fields by name")
     sp.add_argument("inifile")

@@ -393,6 +393,9 @@ class Session:
             self.baccumcount = 0
             self.baccum = jnp.zeros_like(self.baccum)
             self._say("S(k) saved.")
+            if self.variant == "spinj" and self.sink is not None:
+                # raw dump for the offline tool (BscanFFTspinjnt.cpp:1684)
+                self.sink.save_bin("spectrum", np.asarray(self.data_yb))
             if cfg.manualaveraging:
                 self.averagestoggle = 1              # BscanFFT.cpp:1070-1073
 
@@ -526,9 +529,14 @@ class Session:
         self.sink.save_colormapped(f"bscanc{i:03d}", result.bscandisp)
         self._say(f"bscan{i:03d} saved.")
         result.index = i
+        if self.variant == "spinj":
+            # raw dumps for offline computing (BscanFFTspinjnt.cpp:1957-1971)
+            self.sink.save_bin(f"bscandb{i:03d}", result.bscandb)
 
         if self.jlockin and self.jscansave is not None:
             self.sink.save_data(f"jscan{i:03d}", np.asarray(self.jscansave))
+            if self.variant == "spinj":
+                self.sink.save_bin(f"jscan{i:03d}", np.asarray(self.jscansave))
 
         inactive = self._rings[1 if self.zeroisactive else 0]
         if cfg.saveinterferograms:

@@ -67,6 +67,21 @@ class TestTrigCapture:
         assert (sink.dir / "Trig001-000.png").exists()
 
 
+class TestOcvDumps:
+    def test_spectrum_and_bscandb_ocv(self, cfg, src, tmp_path):
+        from fdoct_tpu.utils.ocv_io import matread
+        sink = RunWriter(tmp_path, "ocv")
+        s = Session(cfg, variant="spinj", sink=sink)
+        s.key("b")
+        feed(s, src, 2)                 # background capture completes
+        assert (sink.dir / "spectrum.ocv").exists()
+        spec = matread(sink.dir / "spectrum.ocv")
+        assert np.allclose(spec, np.asarray(s.data_yb))
+        s.key("s")
+        feed(s, src, 2)
+        assert (sink.dir / "bscandb001.ocv").exists()
+
+
 class TestAveragesKeys:
     def test_increment_decrement(self, cfg):
         s = Session(cfg, variant="spinj")

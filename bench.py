@@ -33,9 +33,7 @@ CACHE = ROOT / "native" / ".baseline_cache.json"
 
 ROWS, COLS, NFFT, NDISP = 512, 2048, 2048, 512
 BATCH = 8          # frames per group (averages)
-GROUPS_PER_STEP = 4  # groups fused into one scan step (amortizes per-step cost)
-STEPS = 2            # scan steps per dispatch
-GROUPS = GROUPS_PER_STEP * STEPS
+GROUPS = 8         # groups per dispatch (lax.scan driver)
 WARMUP, ITERS = 3, 12
 
 
@@ -84,22 +82,18 @@ def main() -> None:
     dev = jax.devices()[0]
 
     rng = np.random.default_rng(0)
-    host = rng.integers(
-        0, 255, (STEPS, GROUPS_PER_STEP * BATCH, ROWS, COLS)).astype(np.uint8)
+    host = rng.integers(0, 255, (GROUPS, BATCH, ROWS, COLS)).astype(np.uint8)
     background = jax.device_put(jnp.full((ROWS, COLS), 128.0, jnp.float32), dev)
     pi_frame = jax.device_put(jnp.zeros((ROWS, COLS), jnp.float32), dev)
 
     def group_step(frames):
-        # GROUPS_PER_STEP averaging groups fused into one step: bigger
-        # elementwise/matmul launches amortize per-step fixed cost (the
-        # pipeline is overhead-bound, not MXU-bound — see BENCH.md)
         mags = reconstruct(frames, background, pi_frame, calib, cfg,
                            method="fused")
-        group_sums = mags.reshape(GROUPS_PER_STEP, BATCH, ROWS, NDISP).sum(1)
-        return jax.vmap(
-            lambda m: form_bscan(m, cfg, averages=BATCH).bscandisp)(group_sums)
+        return form_bscan(mags.sum(axis=0), cfg, averages=BATCH).bscandisp
 
-    # chained groups per dispatch — the production streaming shape
+    # GROUPS averaging groups per dispatch — the production streaming shape
+    # (a driver that queues group chains); amortizes per-call overhead,
+    # which in this environment includes the dev-tunnel RPC latency
     @jax.jit
     def scan_groups(all_frames):
         return jax.lax.scan(lambda c, fr: (c, group_step(fr)), 0, all_frames)[1]

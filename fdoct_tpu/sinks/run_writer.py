@@ -44,6 +44,7 @@ class RunWriter:
         self._mats: dict[str, np.ndarray] = {}
         self._m_lines: list[str] = []
         self._footer: list[str] = []
+        self._footer_scalars: dict[str, float] = {}
 
     # ------------------------------------------------------------------
     def save_image(self, name: str, arr: np.ndarray) -> Path:
@@ -85,6 +86,10 @@ class RunWriter:
             f"{cfg.height}, {cfg.camspeed}, {cfg.usbtraffic}, {cfg.binvalue}, "
             f"{int(th)}",
         ]
+        # the windows/XML build writes these as scalars (BscanFFT.cpp:1949)
+        self._footer_scalars = {"camgain": cfg.gain,
+                                "camtime": cfg.exposure_us,
+                                "bscanthreshold": int(th)}
 
     def close(self) -> Path:
         """Flush the data file; returns its path."""
@@ -93,7 +98,7 @@ class RunWriter:
             p.write_text("\n".join(self._m_lines + self._footer) + "\n")
         elif self.fmt == "xml":
             p = self.dir / f"{self.stem}.xml"
-            write_xml(p, self._mats)
+            write_xml(p, self._mats, scalars=self._footer_scalars)
         elif self.fmt == "npz":
             p = self.dir / f"{self.stem}.npz"
             np.savez_compressed(p, **self._mats)

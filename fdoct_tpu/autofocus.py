@@ -48,6 +48,34 @@ def sweep_volume(frames: jnp.ndarray, background: jnp.ndarray,
     return np.asarray(scores), best
 
 
+def sweep_volume_2d(frames: jnp.ndarray, background: jnp.ndarray,
+                    pi_frame: jnp.ndarray, calib: Calibration,
+                    cfg: PipelineConfig, a2_grid: jnp.ndarray,
+                    a3_grid: jnp.ndarray, sample_rows: int = 32
+                    ) -> tuple[np.ndarray, float, float]:
+    """Joint (a2, a3) sweep: second- plus third-order compensation.
+
+    Returns (scores[len(a2), len(a3)], best_a2, best_a3).  Same
+    compute-spectra-once strategy as :func:`sweep_volume`.
+    """
+    f = frames.reshape(-1, frames.shape[-2], frames.shape[-1])
+    y = preprocess(f[0], cfg)
+    yr = apodize_ratio(y, background, pi_frame, cfg)
+    ylin = linearize(yr, calib)[:sample_rows]
+    n = ylin.shape[-1]
+
+    def trial(a2, a3):
+        ph = dispersion_phase(calib.klinear, a2, a3)
+        z = apply_dispersion(ylin, ph)
+        mag = jnp.abs(jnp.fft.ifft(z, axis=-1))[..., : calib.ndisp] * n
+        return sharpness_metric(mag)
+
+    scores = jax.jit(jax.vmap(jax.vmap(trial, in_axes=(None, 0)),
+                              in_axes=(0, None)))(a2_grid, a3_grid)
+    i, j = np.unravel_index(int(jnp.argmax(scores)), scores.shape)
+    return (np.asarray(scores), float(a2_grid[i]), float(a3_grid[j]))
+
+
 def autofocused_calibration(cfg: PipelineConfig, best_a2: float,
                             best_a3: float = 0.0) -> Calibration:
     """Rebuild the fused operator with the winning coefficients folded in

@@ -125,7 +125,13 @@ def cmd_live(args) -> int:
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
-    s = Session(cfg, sink=sink, source=src, method=args.method)
+    # ini-schema names map onto session behavior variants
+    session_variant = {"base": "base", "webcam": "base", "dark": "dark",
+                       "peak": "peak", "spinjnt": "spinj",
+                       "viewport": "base", "viewportc": "base"}.get(
+                           args.variant, "base")
+    s = Session(cfg, variant=session_variant, sink=sink, source=src,
+                method=args.method)
     viewer = None
     if args.viewer:
         from fdoct_tpu.viewer import Viewer
@@ -298,6 +304,61 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_cscan(args) -> int:
+    """Volumetric C-scan over the device mesh (BASELINE config-5 shape):
+    optional dispersion sweep, sharded per-frame reconstruction with
+    all_gather B-scan assembly, npz volume + per-frame PNGs out."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdoct_tpu.autofocus import autofocused_calibration, sweep_volume
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.parallel import (
+        initialize_multihost, make_mesh, shard_frames, sharded_cscan_volume)
+    from fdoct_tpu.pipeline import preprocess
+    from fdoct_tpu.sinks import RunWriter
+    from fdoct_tpu.utils.colormap import apply_jet
+    from fdoct_tpu.utils.imageio import write_png
+    from fdoct_tpu.ops import normalize_minmax, to_db, to_uint8
+
+    initialize_multihost()
+    cfg = _load_cfg(args)
+    src = _make_source(args, cfg)
+    if getattr(args, "image", None):
+        cfg = _autosize(cfg, src)
+    calib = Calibration.create(cfg)
+    it = iter(src.frames())
+    volume_raw = np.stack([next(it) for _ in range(args.frames)])
+    bg = jnp.maximum(preprocess(jnp.asarray(src.background()), cfg), 1.0)
+    pi = jnp.zeros_like(bg)
+
+    if args.dispersion_sweep:
+        grid = jnp.linspace(-8.0, 8.0, 33)
+        _, best = sweep_volume(jnp.asarray(volume_raw[:1]), bg, pi,
+                               calib, cfg, grid)
+        print(f"dispersion sweep: a2 = {best:+.2f}")
+        if best:
+            calib = autofocused_calibration(cfg, best)
+
+    n_dev = len(jax.devices())
+    n_ascan = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+    mesh = make_mesh(n_dev // n_ascan, n_ascan)
+    vol = sharded_cscan_volume(shard_frames(jnp.asarray(volume_raw), mesh),
+                               bg, pi, calib, cfg, mesh, method=args.method)
+    vol_np = np.asarray(jax.device_get(vol))
+
+    sink = RunWriter(args.outdir, cfg.dirdescr, fmt="npz")
+    sink.save_data("cscan", vol_np)
+    db = np.asarray(to_db(jnp.asarray(vol_np) + 1e-5, eps=0.0,
+                          compat=cfg.compat))
+    for i in range(0, vol_np.shape[0], max(1, vol_np.shape[0] // 8)):
+        u8 = np.asarray(to_uint8(normalize_minmax(jnp.asarray(db[i]))))
+        write_png(sink.dir / f"cscan_frame{i:03d}.png", apply_jet(u8))
+    sink.close()
+    print(f"C-scan {vol_np.shape} written to {sink.dir}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Dispersion autofocus over a replay/synthetic source: sweep a2 on a
     frame, report the winner, optionally write the focused B-scan."""
@@ -426,6 +487,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("cscan", help="volumetric C-scan over the mesh")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=32)
+    sp.add_argument("--dispersion-sweep", action="store_true")
+    sp.set_defaults(fn=cmd_cscan)
 
     sp = sub.add_parser("sweep", help="dispersion autofocus sweep")
     common(sp)

@@ -72,3 +72,18 @@ class TestSweep:
         _, best = sweep_volume(jnp.asarray(frame)[None], jnp.asarray(bg),
                                pi, calib, cfg, grid)
         assert abs(best) <= 0.5
+
+
+class TestSweep2D:
+    def test_joint_recovery(self, cfg):
+        from fdoct_tpu.autofocus import sweep_volume_2d
+        a2_true = 4.0
+        frame, bg = chirped_frames(cfg, a2_true)
+        calib = Calibration.create(cfg)
+        pi = jnp.zeros_like(jnp.asarray(bg))
+        scores, a2, a3 = sweep_volume_2d(
+            jnp.asarray(frame)[None], jnp.asarray(bg), pi, calib, cfg,
+            jnp.linspace(-6.0, 6.0, 13), jnp.linspace(-2.0, 2.0, 5))
+        assert scores.shape == (13, 5)
+        assert a2 == pytest.approx(a2_true, abs=1.0)
+        assert abs(a3) <= 1.0  # no third-order chirp present

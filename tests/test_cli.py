@@ -137,3 +137,19 @@ class TestLive:
         rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
                    "--frames", "3"])
         assert rc == 0
+
+
+class TestCscan:
+    def test_cscan_writes_volume(self, small_ini, tmp_path):
+        rc = main(["cscan", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "8"])
+        assert rc == 0
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        data = np.load(run / "BscanFFT.npz")
+        assert data["cscan"].shape[0] == 8
+        assert any(p.name.startswith("cscan_frame") for p in run.iterdir())
+
+    def test_cscan_with_sweep(self, small_ini, tmp_path):
+        rc = main(["cscan", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "4", "--dispersion-sweep"])
+        assert rc == 0

@@ -99,16 +99,48 @@ def resize_area(img: jnp.ndarray, fx: int, fy: int) -> jnp.ndarray:
     return bin_area(img, fx, fy)
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _cv_cubic_matrix(n_in: int, n_out: int, a: float = -0.75) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix reproducing OpenCV INTER_CUBIC:
+    Catmull-Rom-family cubic kernel with a = -0.75, half-pixel-centred
+    source coordinates, clamped (replicate) borders.  Built once per shape;
+    the resize then runs as two small matmuls (MXU food)."""
+    scale = n_in / n_out
+    d = np.arange(n_out)
+    src = (d + 0.5) * scale - 0.5
+    i0 = np.floor(src).astype(int)
+    t = src - i0
+
+    def kern(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1, (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0))
+
+    W = np.zeros((n_out, n_in))
+    for o in (-1, 0, 1, 2):
+        idx = np.clip(i0 + o, 0, n_in - 1)
+        np.add.at(W, (d, idx), kern(t - o))
+    return W
+
+
 def resize_bicubic(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bicubic upsampling over the last two axes.
+    """Bicubic resize over the last two axes, OpenCV INTER_CUBIC semantics
+    (a = -0.75 kernel), implemented as separable interpolation matmuls.
 
     Used by the spinjnt output-B-scan rebinning path: down-resize INTER_AREA
     then up-resize INTER_CUBIC back to the display size
-    (reference: BscanFFTspinjnt.cpp:1856-1861).  Uses jax.image's Keys cubic
-    kernel (a=-0.5; OpenCV uses a=-0.75 — display-equivalent).
+    (reference: BscanFFTspinjnt.cpp:1856-1861).
     """
-    out_shape = img.shape[:-2] + (out_h, out_w)
-    return jax.image.resize(img, out_shape, method="cubic")
+    h, w = img.shape[-2], img.shape[-1]
+    Wr = jnp.asarray(_cv_cubic_matrix(h, out_h), img.dtype)
+    Wc = jnp.asarray(_cv_cubic_matrix(w, out_w), img.dtype)
+    return jnp.einsum("oh,...hw,pw->...op", Wr, img, Wc)
 
 
 def channel_select(frame: jnp.ndarray, channelnum: int) -> jnp.ndarray:

@@ -85,6 +85,32 @@ class TestFilters:
         out = bscan_rebin(x, 2, 2, multiplyfactor=1.0)
         assert out.shape == x.shape
 
+    def test_cv_cubic_weights_partition_unity(self):
+        from fdoct_tpu.ops.filters import _cv_cubic_matrix
+        W = _cv_cubic_matrix(16, 48)
+        assert np.allclose(W.sum(axis=1), 1.0, atol=1e-12)
+
+    def test_cv_cubic_reproduces_linear_ramp(self):
+        """A cubic kernel with a=-0.75 interpolates linear functions exactly
+        (away from the clamped borders)."""
+        from fdoct_tpu.ops.filters import resize_bicubic
+        x = jnp.asarray(np.arange(32, dtype=np.float64))[None, :] * jnp.ones((8, 1))
+        up = np.asarray(resize_bicubic(x, 8, 96))
+        # interior output coords map to src (d+0.5)/3 - 0.5
+        d = np.arange(96)
+        src = (d + 0.5) / 3.0 - 0.5
+        interior = (src > 1.5) & (src < 29.5)
+        assert np.allclose(up[0][interior], src[interior], atol=1e-9)
+
+    def test_cv_cubic_overshoot_sharper_than_keys(self, rng):
+        """a=-0.75 overshoots a step harder than Keys a=-0.5 — detectable
+        difference proving we are not silently using jax.image's kernel."""
+        from fdoct_tpu.ops.filters import resize_bicubic
+        step = jnp.asarray(np.r_[np.zeros(16), np.ones(16)])[None]
+        ours = np.asarray(resize_bicubic(step[None], 1, 128))[0, 0]
+        keys = np.asarray(jax.image.resize(step, (1, 128), method="cubic"))[0]
+        assert ours.min() < keys.min() - 1e-4  # deeper undershoot
+
 
 class TestFftOps:
     def test_zeropad_matches_oracle(self, rng):

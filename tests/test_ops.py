@@ -90,26 +90,43 @@ class TestFilters:
         W = _cv_cubic_matrix(16, 48)
         assert np.allclose(W.sum(axis=1), 1.0, atol=1e-12)
 
-    def test_cv_cubic_reproduces_linear_ramp(self):
-        """A cubic kernel with a=-0.75 interpolates linear functions exactly
-        (away from the clamped borders)."""
+    def test_cv_cubic_matches_scalar_oracle(self):
+        """The matrix implementation must equal a direct scalar evaluation
+        of the OpenCV INTER_CUBIC formula (a=-0.75, half-pixel centres,
+        clamped borders)."""
         from fdoct_tpu.ops.filters import resize_bicubic
-        x = jnp.asarray(np.arange(32, dtype=np.float64))[None, :] * jnp.ones((8, 1))
-        up = np.asarray(resize_bicubic(x, 8, 96))
-        # interior output coords map to src (d+0.5)/3 - 0.5
-        d = np.arange(96)
-        src = (d + 0.5) / 3.0 - 0.5
-        interior = (src > 1.5) & (src < 29.5)
-        assert np.allclose(up[0][interior], src[interior], atol=1e-9)
+        a = -0.75
+        n_in, n_out = 13, 40
+        rng = np.random.default_rng(5)
+        row = rng.normal(size=n_in)
 
-    def test_cv_cubic_overshoot_sharper_than_keys(self, rng):
-        """a=-0.75 overshoots a step harder than Keys a=-0.5 — detectable
-        difference proving we are not silently using jax.image's kernel."""
+        def kern(x):
+            x = abs(x)
+            if x <= 1:
+                return (a + 2) * x**3 - (a + 3) * x**2 + 1
+            if x < 2:
+                return a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a
+            return 0.0
+
+        want = np.zeros(n_out)
+        for d in range(n_out):
+            src = (d + 0.5) * n_in / n_out - 0.5
+            i0 = int(np.floor(src))
+            t = src - i0
+            for o in (-1, 0, 1, 2):
+                want[d] += kern(t - o) * row[min(max(i0 + o, 0), n_in - 1)]
+        got = np.asarray(resize_bicubic(jnp.asarray(row)[None], 1, n_out))[0]
+        assert np.allclose(got, want, atol=1e-12)
+
+    def test_cv_cubic_overshoot_sharper_than_keys(self):
+        """a=-0.75 undershoots a step harder than Keys a=-0.5 — proves we
+        are not silently using jax.image's kernel."""
+        import jax
         from fdoct_tpu.ops.filters import resize_bicubic
         step = jnp.asarray(np.r_[np.zeros(16), np.ones(16)])[None]
         ours = np.asarray(resize_bicubic(step[None], 1, 128))[0, 0]
         keys = np.asarray(jax.image.resize(step, (1, 128), method="cubic"))[0]
-        assert ours.min() < keys.min() - 1e-4  # deeper undershoot
+        assert ours.min() < keys.min() - 1e-4
 
 
 class TestFftOps:

@@ -45,6 +45,63 @@ def _recon_kernel(yr_ref, mr_ref, mi_ref, out_ref):
         out_ref[...] += mag
 
 
+def _recon_raw_kernel(raw_ref, pi_ref, invb_ref, mr_ref, mi_ref, out_ref):
+    """Ratio-in-VMEM variant: raw uint8 frames enter the kernel; the
+    apodization ratio (y − y_p)·(1/y_b) happens on the tile in VMEM, so the
+    f32 ``yr`` intermediate never touches HBM (the plain-XLA broadcasted
+    elementwise was the pipeline's dominant cost — see BENCH.md)."""
+    b = pl.program_id(2)
+    yr = (raw_ref[0].astype(jnp.float32) - pi_ref[...]) * invb_ref[...]
+    re = jnp.dot(yr, mr_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(yr, mi_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = mag
+
+    @pl.when(b > 0)
+    def _accum():
+        out_ref[...] += mag
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "tile_depth", "interpret"))
+def fused_recon_raw_accumulate(
+    raw: jnp.ndarray,      # (B, rows, n_in) raw uint8/uint16 frames
+    pi_frame: jnp.ndarray,  # (rows, n_in) float32
+    inv_background: jnp.ndarray,  # (rows, n_in) float32, 1/y_b precomputed
+    op_re: jnp.ndarray,    # (n_in, ndisp)
+    op_im: jnp.ndarray,    # (n_in, ndisp)
+    tile_rows: int = 256,
+    tile_depth: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Σ_b |((raw[b] − y_p)⊘y_b) @ (op_re + i·op_im)| with the ratio fused
+    into the matmul kernel.  Applicable when preprocess is identity
+    (mediann = 0, binvalue = 1, movavgn = 0 — the flagship configs)."""
+    B, rows, n_in = raw.shape
+    ndisp = op_re.shape[1]
+    tr = min(tile_rows, rows)
+    td = min(tile_depth, ndisp)
+    assert rows % tr == 0 and ndisp % td == 0, (rows, ndisp, tr, td)
+
+    grid = (rows // tr, ndisp // td, B)
+    return pl.pallas_call(
+        _recon_raw_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr, n_in), lambda r, d, b: (b, r, 0)),
+            pl.BlockSpec((tr, n_in), lambda r, d, b: (r, 0)),
+            pl.BlockSpec((tr, n_in), lambda r, d, b: (r, 0)),
+            pl.BlockSpec((n_in, td), lambda r, d, b: (0, d)),
+            pl.BlockSpec((n_in, td), lambda r, d, b: (0, d)),
+        ],
+        out_specs=pl.BlockSpec((tr, td), lambda r, d, b: (r, d)),
+        out_shape=jax.ShapeDtypeStruct((rows, ndisp), jnp.float32),
+        interpret=interpret,
+    )(raw, pi_frame, inv_background, op_re, op_im)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows", "tile_depth", "interpret"))
 def fused_recon_accumulate(
     yr: jnp.ndarray,       # (B, rows, n_in) apodization-ratio frames

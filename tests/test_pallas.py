@@ -69,3 +69,23 @@ def test_bf16_operands(problem):
     want = reference_accum(yr, mr, mi)
     # bf16 products, f32 accumulation: ~1% tolerance
     assert np.allclose(got, want, rtol=0.05, atol=0.05 * np.abs(want).max())
+
+
+def test_raw_kernel_matches_xla_path(rng):
+    import jax.numpy as jnp
+    from fdoct_tpu.ops.pallas_kernels import fused_recon_raw_accumulate
+    B, rows, n_in, ndisp = 3, 16, 64, 32
+    raw = rng.integers(0, 255, (B, rows, n_in)).astype(np.uint8)
+    bg = rng.uniform(50, 200, (rows, n_in)).astype(np.float32)
+    pi = rng.uniform(0, 50, (rows, n_in)).astype(np.float32)
+    mr = rng.normal(size=(n_in, ndisp)).astype(np.float32)
+    mi = rng.normal(size=(n_in, ndisp)).astype(np.float32)
+    got = np.asarray(fused_recon_raw_accumulate(
+        jnp.asarray(raw), jnp.asarray(pi), jnp.asarray(1.0 / bg),
+        jnp.asarray(mr), jnp.asarray(mi),
+        tile_rows=8, tile_depth=16, interpret=True))
+    yr = (raw.astype(np.float32) - pi) / bg
+    re = yr @ mr
+    im = yr @ mi
+    want = np.sqrt(re * re + im * im).sum(0)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())

@@ -51,7 +51,9 @@ def _recon_raw_kernel(raw_ref, pi_ref, invb_ref, mr_ref, mi_ref, out_ref):
     f32 ``yr`` intermediate never touches HBM (the plain-XLA broadcasted
     elementwise was the pipeline's dominant cost — see BENCH.md)."""
     b = pl.program_id(2)
-    yr = (raw_ref[0].astype(jnp.float32) - pi_ref[...]) * invb_ref[...]
+    # Mosaic has no direct uint8->float32 cast; widen through int32
+    y = raw_ref[0].astype(jnp.int32).astype(jnp.float32)
+    yr = (y - pi_ref[...]) * invb_ref[...]
     re = jnp.dot(yr, mr_ref[...], preferred_element_type=jnp.float32)
     im = jnp.dot(yr, mi_ref[...], preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)

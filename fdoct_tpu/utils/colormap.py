@@ -10,13 +10,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def jet_table(n: int = 256) -> np.ndarray:
-    """(n, 3) uint8 RGB jet table."""
-    x = np.linspace(0.0, 1.0, n)
+def _jet(x: np.ndarray) -> np.ndarray:
+    """GNU-Octave/MATLAB jet formula on x ∈ [0, 1] → (len(x), 3) floats."""
     r = np.clip(1.5 - np.abs(4 * x - 3.0), 0, 1)
     g = np.clip(1.5 - np.abs(4 * x - 2.0), 0, 1)
     b = np.clip(1.5 - np.abs(4 * x - 1.0), 0, 1)
-    return np.round(np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def jet_table(n: int = 256, anchors: int = 64) -> np.ndarray:
+    """(n, 3) uint8 RGB jet table.
+
+    OpenCV builds COLORMAP_JET by linearly interpolating a 64-entry
+    GNU-Octave jet onto 256 levels; reproducing that anchor-interpolation
+    (rather than evaluating the formula at 256 points directly) matches its
+    table at the clip corners too."""
+    xa = np.linspace(0.0, 1.0, anchors)
+    table = _jet(xa)
+    xq = np.linspace(0.0, 1.0, n)
+    out = np.stack([np.interp(xq, xa, table[:, c]) for c in range(3)], axis=-1)
+    return np.round(out * 255).astype(np.uint8)
 
 
 _TABLE = jet_table()

@@ -354,8 +354,19 @@ def cmd_cscan(args) -> int:
     for i in range(0, vol_np.shape[0], max(1, vol_np.shape[0] // 8)):
         u8 = np.asarray(to_uint8(normalize_minmax(jnp.asarray(db[i]))))
         write_png(sink.dir / f"cscan_frame{i:03d}.png", apply_jet(u8))
+
+    # volumetric views: en-face MIP + surface topography
+    from fdoct_tpu.volume import enface_projection, surface_map
+    enface = enface_projection(jnp.asarray(db), "max")
+    u8 = np.asarray(to_uint8(normalize_minmax(enface)))
+    write_png(sink.dir / "enface_mip.png", apply_jet(u8))
+    surf = surface_map(jnp.asarray(vol_np))
+    sink.save_data("surface", np.asarray(surf))
+    u8 = np.asarray(to_uint8(normalize_minmax(jnp.asarray(surf).astype(jnp.float32))))
+    write_png(sink.dir / "surface_map.png", u8)
     sink.close()
-    print(f"C-scan {vol_np.shape} written to {sink.dir}")
+    print(f"C-scan {vol_np.shape} written to {sink.dir} "
+          f"(+ enface_mip.png, surface_map.png)")
     return 0
 
 

@@ -67,6 +67,62 @@ def _recon_raw_kernel(raw_ref, pi_ref, invb_ref, mr_ref, mi_ref, out_ref):
         out_ref[...] += mag
 
 
+def _recon_resident_kernel(raw_ref, pi_ref, invb_ref, mr_ref, mi_ref, out_ref):
+    """Operator-resident variant: the full bf16 operator stays in VMEM for
+    the whole grid (index map constant), frames stream through; ratio in
+    VMEM; f32 accumulation."""
+    b = pl.program_id(1)
+    y = raw_ref[0].astype(jnp.int32).astype(jnp.float32)
+    yr = ((y - pi_ref[...]) * invb_ref[...]).astype(jnp.bfloat16)
+    re = jnp.dot(yr, mr_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(yr, mi_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = mag
+
+    @pl.when(b > 0)
+    def _accum():
+        out_ref[...] += mag
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def fused_recon_resident(
+    raw: jnp.ndarray,            # (B, rows, n_in) raw uint8
+    pi_frame: jnp.ndarray,       # (rows, n_in) f32
+    inv_background: jnp.ndarray, # (rows, n_in) f32
+    op_re: jnp.ndarray,          # (n_in, ndisp) bf16
+    op_im: jnp.ndarray,          # (n_in, ndisp) bf16
+    tile_rows: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Σ_b |ratio(raw[b]) @ M| with the whole bf16 operator VMEM-resident
+    (no re-fetch across the grid) and only frames streaming from HBM —
+    the data-movement-minimal schedule.  Requires
+    2·n_in·ndisp·2B (operator) + tiles to fit VMEM (~10 MB at 2048×512)."""
+    B, rows, n_in = raw.shape
+    ndisp = op_re.shape[1]
+    tr = min(tile_rows, rows)
+    assert rows % tr == 0
+    grid = (rows // tr, B)
+    return pl.pallas_call(
+        _recon_resident_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr, n_in), lambda r, b: (b, r, 0)),
+            pl.BlockSpec((tr, n_in), lambda r, b: (r, 0)),
+            pl.BlockSpec((tr, n_in), lambda r, b: (r, 0)),
+            pl.BlockSpec((n_in, ndisp), lambda r, b: (0, 0)),
+            pl.BlockSpec((n_in, ndisp), lambda r, b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tr, ndisp), lambda r, b: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, ndisp), jnp.float32),
+        interpret=interpret,
+    )(raw, pi_frame, inv_background, op_re.astype(jnp.bfloat16),
+      op_im.astype(jnp.bfloat16))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows", "tile_depth", "interpret"))
 def fused_recon_raw_accumulate(
     raw: jnp.ndarray,      # (B, rows, n_in) raw uint8/uint16 frames

@@ -89,3 +89,21 @@ def test_raw_kernel_matches_xla_path(rng):
     im = yr @ mi
     want = np.sqrt(re * re + im * im).sum(0)
     assert np.allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())
+
+
+def test_resident_kernel_matches_reference(rng):
+    import jax.numpy as jnp
+    from fdoct_tpu.ops.pallas_kernels import fused_recon_resident
+    B, rows, n_in, ndisp = 3, 16, 64, 32
+    raw = rng.integers(0, 255, (B, rows, n_in)).astype(np.uint8)
+    bg = rng.uniform(50, 200, (rows, n_in)).astype(np.float32)
+    pi = rng.uniform(0, 50, (rows, n_in)).astype(np.float32)
+    mr = rng.normal(size=(n_in, ndisp)).astype(np.float32)
+    mi = rng.normal(size=(n_in, ndisp)).astype(np.float32)
+    got = np.asarray(fused_recon_resident(
+        jnp.asarray(raw), jnp.asarray(pi), jnp.asarray(1.0 / bg),
+        jnp.asarray(mr), jnp.asarray(mi), tile_rows=8, interpret=True))
+    yr = (raw.astype(np.float32) - pi) / bg
+    want = np.sqrt((yr @ mr) ** 2 + (yr @ mi) ** 2).sum(0)
+    # bf16 operator: percent-level tolerance
+    assert np.allclose(got, want, rtol=0.02, atol=0.02 * np.abs(want).max())

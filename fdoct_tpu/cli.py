@@ -403,6 +403,64 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """Deployment self-check: synthetic physics → both reconstruction paths
+    → agreement + known-depth peak + sharded-vs-single parity on whatever
+    devices exist.  Exit 0 = healthy."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.pipeline import reconstruct
+    from fdoct_tpu.sources.synthetic import SyntheticSource
+
+    cfg = PipelineConfig(width=256, height=16, averages=2, numfftpoints=512,
+                         numdisplaypoints=160, dtype="float32")
+    calib = Calibration.create(cfg)
+    src = SyntheticSource(height=16, width=256, depths_um=(50.0,),
+                          reflectivities=(0.5,))
+    raw = jnp.asarray(np.stack([next(iter(src.frames()))] * 2))
+    bg = jnp.asarray(np.maximum(src.background(), 1).astype(np.float32))
+    pi = jnp.zeros_like(bg)
+    ok = True
+
+    a = np.asarray(reconstruct(raw, bg, pi, calib, cfg, "gather"))
+    b = np.asarray(reconstruct(raw, bg, pi, calib, cfg, "fused"))
+    agree = np.allclose(a, b, rtol=1e-4, atol=1e-4 * a.max())
+    print(f"[{'ok' if agree else 'FAIL'}] gather/fused agreement "
+          f"(max rel {np.abs(a - b).max() / a.max():.2e})")
+    ok &= agree
+
+    kl = np.asarray(calib.klinear)
+    expect = 50e-6 * (kl[-1] - kl[0]) / np.pi
+    ascan = a[0, 0].copy()
+    ascan[:5] = 0
+    peak = int(np.argmax(ascan))
+    hit = abs(peak - expect) <= 2
+    print(f"[{'ok' if hit else 'FAIL'}] scatterer depth bin {peak} "
+          f"(expect ~{expect:.1f})")
+    ok &= hit
+
+    n = len(jax.devices())
+    if n > 1:
+        from fdoct_tpu.parallel import (make_mesh, shard_frames,
+                                        sharded_bscan_step)
+        mesh = make_mesh()
+        db, _ = sharded_bscan_step(shard_frames(raw, mesh), bg, pi,
+                                   calib, cfg, mesh)
+        from fdoct_tpu.pipeline import form_bscan
+        ref = form_bscan(jnp.asarray(b).sum(0), cfg, 2).bscandb
+        par = np.allclose(np.asarray(db), np.asarray(ref), atol=1e-4)
+        print(f"[{'ok' if par else 'FAIL'}] sharded parity over {n} devices")
+        ok &= par
+    else:
+        print("[--] single device; sharded parity skipped")
+
+    print("selftest", "PASSED" if ok else "FAILED")
+    return 0 if ok else 1
+
+
 def cmd_configedit(args) -> int:
     """Edit fields of a positional ini in place (the role of the reference's
     Octave GUI editors build/editini.m / editiniadv.m, which poke specific
@@ -512,6 +570,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--steps", type=int, default=33)
     sp.add_argument("--out", default="", help="write focused B-scan PNG here")
     sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("selftest", help="numerical self-check")
+    sp.set_defaults(fn=cmd_selftest)
 
     sp = sub.add_parser("configedit", help="view/edit ini fields by name")
     sp.add_argument("inifile")

@@ -153,3 +153,8 @@ class TestCscan:
         rc = main(["cscan", "--config", small_ini, "--outdir", str(tmp_path),
                    "--frames", "4", "--dispersion-sweep"])
         assert rc == 0
+
+
+class TestSelftest:
+    def test_selftest_passes(self):
+        assert main(["selftest"]) == 0

@@ -443,10 +443,12 @@ def cmd_selftest(args) -> int:
     ok &= hit
 
     n = len(jax.devices())
-    if n > 1:
+    n_data = 2 if n % 2 == 0 and n > 1 else 1
+    n_ascan = n // n_data
+    if n > 1 and raw.shape[0] % n_data == 0 and cfg.oph % n_ascan == 0:
         from fdoct_tpu.parallel import (make_mesh, shard_frames,
                                         sharded_bscan_step)
-        mesh = make_mesh()
+        mesh = make_mesh(n_data, n_ascan)
         db, _ = sharded_bscan_step(shard_frames(raw, mesh), bg, pi,
                                    calib, cfg, mesh)
         from fdoct_tpu.pipeline import form_bscan

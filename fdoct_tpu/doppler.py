@@ -27,6 +27,28 @@ def displacement_m(dphi: jnp.ndarray, lambda0: float, ns: float = 1.0) -> jnp.nd
     return dphi * lambda0 / (4 * jnp.pi * ns)
 
 
+def speckle_variance(z: jnp.ndarray) -> jnp.ndarray:
+    """Speckle-variance OCT-A: inter-frame variance of the A-scan magnitude
+    at each voxel of a (T, H, ndisp) complex stack — high where scatterers
+    decorrelate (flow), low in static tissue."""
+    mag = jnp.abs(z)
+    return jnp.var(mag, axis=0)
+
+
+def octa_bscan(raw_frames: jnp.ndarray, background: jnp.ndarray,
+               pi_frame: jnp.ndarray, calib: Calibration,
+               cfg: PipelineConfig, mag_floor_frac: float = 0.1):
+    """Angiography B-scan: (mean_mag (ndisp, H), normalized speckle-variance
+    map (ndisp, H)) from a repeated-frame sequence."""
+    y = preprocess(raw_frames, cfg)
+    yr = apodize_ratio(y, background, pi_frame, cfg)
+    z = ascan_complex(yr, calib)
+    mag = jnp.mean(jnp.abs(z), axis=0)
+    sv = speckle_variance(z) / (mag**2 + 1e-20)   # contrast-normalized
+    mask = mag > mag_floor_frac * jnp.max(mag)
+    return mag.T, jnp.where(mask, sv, 0.0).T
+
+
 def doppler_bscan(raw_frames: jnp.ndarray, background: jnp.ndarray,
                   pi_frame: jnp.ndarray, calib: Calibration,
                   cfg: PipelineConfig, ns: float = 1.0,

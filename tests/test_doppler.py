@@ -74,3 +74,29 @@ class TestDopplerBscan:
         mag, vel = np.asarray(mag), np.asarray(vel)
         weak = mag <= 0.1 * mag.max()
         assert np.all(vel[weak] == 0.0)
+
+
+class TestOcta:
+    def test_decorrelating_voxels_light_up(self, cfg):
+        """Frames with a jittering scatterer (random depth each frame) give
+        high speckle variance; a static scatterer gives near zero."""
+        from fdoct_tpu.doppler import octa_bscan
+        calib = Calibration.create(cfg)
+        rng = np.random.default_rng(11)
+        frames = []
+        for _ in range(8):
+            src = SyntheticSource(
+                height=cfg.height, width=cfg.width,
+                depths_um=(50.0 + rng.uniform(-2, 2), 90.0),  # 0: flow, 1: static
+                reflectivities=(0.5, 0.5))
+            frames.append(next(iter(src.frames())))
+        bg = np.maximum(src.background(), 1).astype(np.float64)
+        mag, sv = octa_bscan(jnp.asarray(np.stack(frames)), jnp.asarray(bg),
+                             jnp.zeros_like(jnp.asarray(bg)), calib, cfg)
+        mag, sv = np.asarray(mag), np.asarray(sv)
+        kl = np.asarray(calib.klinear)
+        bin50 = int(round(50e-6 * (kl[-1] - kl[0]) / np.pi))
+        bin90 = int(round(90e-6 * (kl[-1] - kl[0]) / np.pi))
+        flow = sv[bin50 - 1: bin50 + 2].max()
+        static = sv[bin90 - 1: bin90 + 2].max()
+        assert flow > 10 * static, (flow, static)

@@ -19,19 +19,40 @@ _SCALARS = ("averagestoggle", "bscanthreshold", "exposure_us", "gain",
             "ascanat", "vertposROI", "widthROI", "indexi", "manualindexi")
 
 
-def save_session(session, path: str | Path) -> Path:
-    """Write config + calibration tensors + runtime knobs to ``path``."""
-    path = Path(path)
+def _payload(session) -> dict:
     payload = {f"tensor_{k}": np.asarray(getattr(session, k)) for k in _TENSORS}
     payload.update({f"scalar_{k}": np.asarray(getattr(session, k))
                     for k in _SCALARS})
     payload["config_json"] = np.frombuffer(
         session.cfg.to_json().encode(), dtype=np.uint8)
-    np.savez_compressed(path, **payload)
+    return payload
+
+
+def save_session(session, path: str | Path, backend: str = "npz") -> Path:
+    """Write config + calibration tensors + runtime knobs to ``path``.
+
+    backend='npz' (single compressed archive) or 'orbax' (directory
+    checkpoint via orbax-checkpoint — the production TPU checkpointing
+    stack, useful when the session state should participate in a larger
+    orbax-managed checkpoint layout).
+    """
+    path = Path(path)
+    payload = _payload(session)
+    if backend == "npz":
+        np.savez_compressed(path, **payload)
+    elif backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path.resolve(), {k: v for k, v in payload.items()})
+        ckptr.wait_until_finished()
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     return path
 
 
-def load_session(path: str | Path, session=None, **session_kwargs):
+def load_session(path: str | Path, session=None, backend: str = "npz",
+                 **session_kwargs):
     """Rebuild (or update) a Session from a checkpoint.
 
     With ``session=None`` constructs a fresh Session from the stored config;
@@ -41,7 +62,13 @@ def load_session(path: str | Path, session=None, **session_kwargs):
     from fdoct_tpu.config import PipelineConfig
     from fdoct_tpu.session import Session
 
-    data = np.load(path)
+    if backend == "orbax" or Path(path).is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        data = ckptr.restore(Path(path).resolve())
+    else:
+        data = np.load(path)
     cfg = PipelineConfig.from_json(bytes(data["config_json"]).decode())
     if session is None:
         session = Session(cfg, **session_kwargs)

@@ -116,3 +116,23 @@ class TestCheckpointResume:
         s2 = load_session(p)
         r2 = s2.process(next(it))
         assert np.allclose(r1.bscan, r2.bscan)  # identical state → identical output
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        cfg = PipelineConfig(width=64, height=8, averages=2,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float32")
+        s = Session(cfg)
+        s.data_yb = jnp.full((8, 64), 7.5)
+        s.exposure_us = 321
+        p = save_session(s, tmp_path / "ck_orbax", backend="orbax")
+        s2 = load_session(p, backend="orbax")
+        assert s2.cfg == cfg
+        assert np.allclose(np.asarray(s2.data_yb), 7.5)
+        assert s2.exposure_us == 321

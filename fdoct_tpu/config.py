@@ -94,6 +94,8 @@ class PipelineConfig:
     # --- framework extensions (no reference equivalent) ---
     dtype: str = "float32"          # compute dtype on device
     compat: bool = True             # bit-compatible reference semantics
+    matmul_precision: str = "default"  # "default" (TPU bf16 passes, ~1e-3
+    # rel, fastest) | "highest" (f32-exact, ~2x slower on TPU)
     window: str = "barthann"        # apodization window kind (ops.windows)
     dispersion_a2: float = 0.0      # dispersion compensation phase: a2*(k-k0)^2
     dispersion_a3: float = 0.0      # + a3*(k-k0)^3  [rad·(rad/m)^-n]

@@ -50,3 +50,13 @@ class TestDisplayEquivalence:
         fast = _display(cfg, frames, bg, "float32", "gather")
         diff = np.abs(ref - fast)
         assert np.mean(diff <= 2) > 0.99
+
+
+class TestMatmulPrecisionKnob:
+    def test_fused_exact_method(self, data):
+        """method='fused_exact' / matmul_precision='highest' forces exact
+        f32 matmuls (identical to default on CPU; tighter on TPU)."""
+        cfg, frames, bg = data
+        a = _display(cfg, frames, bg, "float32", "fused")
+        b = _display(cfg, frames, bg, "float32", "fused_exact")
+        assert np.abs(a - b).max() <= 1

@@ -35,7 +35,12 @@ def hilbert_reconstruct(ylin: jnp.ndarray, ndisp: int) -> jnp.ndarray:
     ``ndisp`` depth samples, scaled like ops.fft.ifft_mag_rows.  Mirrors the
     role of the Hilbert method in wangOCTrec4.m (an independent estimator to
     cross-check the direct IFFT path), not its literal Octave code.
+
+    The conjugate is taken before the inverse transform: under the ifft
+    convention the displayed positive-depth bins carry the *negative*
+    spectral branch (see ops/dispersion.py note), which the analytic signal
+    would otherwise suppress.
     """
     n = ylin.shape[-1]
-    z = analytic_signal(ylin)
+    z = jnp.conj(analytic_signal(ylin))
     return jnp.abs(jnp.fft.ifft(z, axis=-1))[..., :ndisp].astype(ylin.dtype) * n

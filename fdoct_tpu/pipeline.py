@@ -131,6 +131,12 @@ def ascan_mags(yr: jnp.ndarray, calib: Calibration, method: str = "fused",
         return ascan_mags_fused(yr, calib, "highest")
     if method == "gather":
         return ascan_mags_gather(yr, calib)
+    if method == "hilbert":
+        # analytic-signal estimator (the wangOCTrec4.m alternative):
+        # complex fringe from the Hilbert transform of the k-linear
+        # spectrum, then |IFFT|
+        from fdoct_tpu.ops.hilbert import hilbert_reconstruct
+        return hilbert_reconstruct(linearize(yr, calib), calib.ndisp)
     raise ValueError(f"unknown method {method!r}")
 
 

@@ -197,3 +197,21 @@ class TestPhysics:
         ascan = mags[0]
         peak = ascan[5:].max()
         assert ascan[0] < peak  # DC below signal peak after π subtraction
+
+
+class TestHilbertMethod:
+    def test_hilbert_finds_same_peak(self, sim_cfg, sim_frames):
+        """The analytic-signal estimator (wangOCTrec4 role) must locate the
+        scatterer at the same depth bin as the direct IFFT path."""
+        raw, backg, piimg = sim_frames
+        calib = Calibration.create(sim_cfg)
+        direct = np.asarray(reconstruct(
+            jnp.asarray(raw), jnp.asarray(backg, jnp.float64),
+            jnp.asarray(piimg, jnp.float64), calib, sim_cfg, "gather"))
+        hil = np.asarray(reconstruct(
+            jnp.asarray(raw), jnp.asarray(backg, jnp.float64),
+            jnp.asarray(piimg, jnp.float64), calib, sim_cfg, "hilbert"))
+        assert hil.shape == direct.shape
+        a, b = direct[0].copy(), hil[0].copy()
+        a[:5] = b[:5] = 0
+        assert abs(int(np.argmax(a)) - int(np.argmax(b))) <= 1

@@ -391,11 +391,20 @@ def cmd_sweep(args) -> int:
     bg = jnp.maximum(bg, 1.0)
     pi = jnp.zeros_like(bg)
     grid = jnp.linspace(args.a2_min, args.a2_max, args.steps)
-    scores, best = sweep_volume(jnp.asarray(raw)[None], bg, pi, calib, cfg, grid)
-    print(f"best a2 = {best:+.3f}  (scores "
-          f"{float(scores.min()):.3e}..{float(scores.max()):.3e})")
+    best_a3 = 0.0
+    if args.joint:
+        from fdoct_tpu.autofocus import sweep_volume_2d
+        a3_grid = jnp.linspace(args.a3_min, args.a3_max, max(args.steps // 2, 3))
+        scores, best, best_a3 = sweep_volume_2d(
+            jnp.asarray(raw)[None], bg, pi, calib, cfg, grid, a3_grid)
+        print(f"best a2 = {best:+.3f}, a3 = {best_a3:+.3f}")
+    else:
+        scores, best = sweep_volume(jnp.asarray(raw)[None], bg, pi, calib,
+                                    cfg, grid)
+        print(f"best a2 = {best:+.3f}  (scores "
+              f"{float(scores.min()):.3e}..{float(scores.max()):.3e})")
     if args.out:
-        calib2 = autofocused_calibration(cfg, best)
+        calib2 = autofocused_calibration(cfg, best, best_a3)
         mags = reconstruct(jnp.asarray(raw), bg, pi, calib2, cfg, args.method)
         disp = form_bscan(mags, cfg, 1).bscandisp
         write_png(args.out, apply_jet(np.asarray(disp)))
@@ -572,6 +581,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--a2-min", type=float, default=-8.0)
     sp.add_argument("--a2-max", type=float, default=8.0)
+    sp.add_argument("--a3-min", type=float, default=-3.0)
+    sp.add_argument("--a3-max", type=float, default=3.0)
+    sp.add_argument("--joint", action="store_true",
+                    help="joint (a2, a3) 2D sweep")
     sp.add_argument("--steps", type=int, default=33)
     sp.add_argument("--out", default="", help="write focused B-scan PNG here")
     sp.set_defaults(fn=cmd_sweep)

@@ -82,3 +82,54 @@ def autofocused_calibration(cfg: PipelineConfig, best_a2: float,
     (one host-side rebuild; the per-frame cost is unchanged)."""
     return Calibration.create(cfg.replace(dispersion_a2=best_a2,
                                           dispersion_a3=best_a3))
+
+
+def segmented_dispersion_mags(yr: jnp.ndarray, calib: Calibration,
+                              a2_per_segment: jnp.ndarray) -> jnp.ndarray:
+    """Depth-segmented dispersion compensation.
+
+    Sample dispersion grows with depth (light traverses more material), so
+    one global coefficient can only focus one depth; this reconstructs the
+    k-linear spectrum once, applies each segment's phase, and stitches each
+    segment's depth window from its own compensated IFFT.
+
+    ``a2_per_segment`` (S,) splits the display depth range into S equal
+    segments.  Cost: S phase-multiplies + IFFTs over the row batch (the
+    spectra are computed once).  Returns (..., ndisp) magnitudes.
+    """
+    ylin = linearize(yr, calib)
+    n = ylin.shape[-1]
+    S = a2_per_segment.shape[0]
+    seg_len = calib.ndisp // S
+    assert seg_len * S == calib.ndisp, (calib.ndisp, S)
+
+    def one(a2):
+        ph = dispersion_phase(calib.klinear, a2)
+        z = apply_dispersion(ylin, ph)
+        return jnp.abs(jnp.fft.ifft(z, axis=-1))[..., : calib.ndisp] * n
+
+    mags = jax.vmap(one)(a2_per_segment)          # (S, ..., ndisp)
+    segments = [mags[s][..., s * seg_len:(s + 1) * seg_len]
+                for s in range(S)]
+    return jnp.concatenate(segments, axis=-1)
+
+
+def sweep_per_segment(yr: jnp.ndarray, calib: Calibration,
+                      a2_grid: jnp.ndarray, n_segments: int) -> jnp.ndarray:
+    """Per-segment coefficient sweep: for each depth segment, pick the a2
+    maximizing that segment's sharpness.  Returns (n_segments,) best a2s."""
+    ylin = linearize(yr, calib)
+    n = ylin.shape[-1]
+    seg_len = calib.ndisp // n_segments
+
+    def trial(a2):
+        ph = dispersion_phase(calib.klinear, a2)
+        z = apply_dispersion(ylin, ph)
+        mag = jnp.abs(jnp.fft.ifft(z, axis=-1))[..., : calib.ndisp] * n
+        segs = mag.reshape(*mag.shape[:-1], n_segments, seg_len)
+        i = segs.astype(jnp.float32) ** 2
+        red = tuple(range(i.ndim - 2)) + (i.ndim - 1,)
+        return jnp.sum(i * i, axis=red) / (jnp.sum(i, axis=red) ** 2 + 1e-30)
+
+    scores = jax.jit(jax.vmap(trial))(a2_grid)    # (len(grid), n_segments)
+    return a2_grid[jnp.argmax(scores, axis=0)]

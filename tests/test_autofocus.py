@@ -87,3 +87,51 @@ class TestSweep2D:
         assert scores.shape == (13, 5)
         assert a2 == pytest.approx(a2_true, abs=1.0)
         assert abs(a3) <= 1.0  # no third-order chirp present
+
+
+class TestSegmentedDispersion:
+    def test_two_depths_two_coefficients(self, cfg):
+        """Two scatterers whose chirps differ with depth: segmented
+        compensation must sharpen both; the per-segment sweep must find a
+        different coefficient for each."""
+        import jax
+        from fdoct_tpu.autofocus import (
+            segmented_dispersion_mags, sweep_per_segment)
+        from fdoct_tpu.pipeline import apodize_ratio, preprocess
+        from fdoct_tpu.sources.synthetic import wang_lambda_grid
+
+        calib = Calibration.create(cfg)
+        kl = np.asarray(calib.klinear)
+        kc = (kl[0] + kl[-1]) / 2
+        half = (kl[-1] - kl[0]) / 2
+        lambdas = wang_lambda_grid(cfg.width)
+        k = 2 * np.pi / lambdas
+        x = (k - kc) / half
+        S = np.exp(-0.5 * ((lambdas - 850e-9) / 17e-9) ** 2)
+        # shallow scatterer: no chirp; deep scatterer: strong chirp.
+        # segment boundary is display bin 80 = z·Δk/π → ~424 µm, so put
+        # the scatterers on opposite sides of it
+        z1, z2 = 100e-6, 450e-6
+        fringe = S * (2.5 + np.cos(2 * k * z1) + np.cos(2 * k * z2 + 6.0 * x**2))
+        frame = np.round(np.tile(fringe / fringe.max(), (cfg.height, 1))
+                         * 255).astype(np.uint8)
+        bg = np.maximum(np.tile(S / S.max(), (cfg.height, 1)) * 255, 1.0)
+
+        import jax.numpy as jnp
+        yr = apodize_ratio(preprocess(jnp.asarray(frame), cfg),
+                           jnp.asarray(bg), jnp.zeros_like(jnp.asarray(bg)),
+                           cfg)
+        grid = jnp.linspace(-8.0, 8.0, 17)
+        best = np.asarray(sweep_per_segment(yr, calib, grid, n_segments=2))
+        # shallow segment wants ~0, deep segment wants ~+6
+        assert abs(best[0]) <= 2.0, best
+        assert best[1] == pytest.approx(6.0, abs=1.5), best
+
+        mags = np.asarray(segmented_dispersion_mags(
+            yr, calib, jnp.asarray(best)))
+        assert mags.shape == (cfg.height, cfg.numdisplaypoints)
+        # both peaks sharp: each segment's max well above its local mean
+        seg_len = cfg.numdisplaypoints // 2
+        for s in range(2):
+            seg = mags[0, s * seg_len:(s + 1) * seg_len]
+            assert seg.max() > 8 * seg.mean(), s

@@ -133,9 +133,12 @@ def cmd_live(args) -> int:
     s = Session(cfg, variant=session_variant, sink=sink, source=src,
                 method=args.method)
     viewer = None
-    if args.viewer:
+    if args.viewer or args.viewer_mode == "http":
         from fdoct_tpu.viewer import Viewer
-        viewer = Viewer(mode=args.viewer_mode, outdir=args.viewer)
+        viewer = Viewer(mode=args.viewer_mode, outdir=args.viewer or "viewer",
+                        port=getattr(args, "viewer_port", 8089))
+        if viewer.server is not None:
+            print(f"live viewer at {viewer.server.url}", file=sys.stderr)
     it = iter(src.frames())
     import select
 
@@ -143,6 +146,9 @@ def cmd_live(args) -> int:
     while not s.done and (args.frames == 0 or n < args.frames):
         if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
             for ch in sys.stdin.readline().rstrip("\n"):
+                s.key(ch)
+        if viewer is not None:
+            for ch in viewer.pop_keys():
                 s.key(ch)
         raw = next(it)
         r = s.process(raw)
@@ -153,6 +159,8 @@ def cmd_live(args) -> int:
             print(f"bscan group done (n={n}), peak "
                   f"{r.bscandb.max():.1f} dB", file=sys.stderr)
     s.close()
+    if viewer is not None:
+        viewer.close()
     print(f"processed {n} frames; outputs in {sink.dir}")
     return 0
 
@@ -532,7 +540,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--viewer", default="",
                     help="render display windows into this directory")
     sp.add_argument("--viewer-mode", default="files",
-                    choices=["files", "mpl"])
+                    choices=["files", "mpl", "http"])
+    sp.add_argument("--viewer-port", type=int, default=8089,
+                    help="http viewer port (0 = ephemeral)")
     sp.set_defaults(fn=cmd_live)
 
     sp = sub.add_parser("capture", help="batch capture Trig sets")

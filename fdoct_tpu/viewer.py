@@ -53,12 +53,13 @@ class Viewer:
                "roi_intensity", "vibration_profile")
 
     def __init__(self, mode: str = "files", outdir: str | Path = "viewer",
-                 callback=None):
+                 callback=None, port: int = 8089):
         self.mode = mode
         self.callback = callback
         self.outdir = Path(outdir)
         self._fig = None
         self._axes = {}
+        self.server = None
         if mode == "files":
             self.outdir.mkdir(parents=True, exist_ok=True)
         elif mode == "mpl":
@@ -66,6 +67,9 @@ class Viewer:
             import matplotlib.pyplot as plt
             self._plt = plt
             self._fig = None
+        elif mode == "http":
+            from fdoct_tpu.viewer_server import ViewerServer
+            self.server = ViewerServer(port=port)
 
     def _update_mpl(self, name: str, img: np.ndarray) -> None:
         plt = self._plt
@@ -98,8 +102,18 @@ class Viewer:
             write_png(self.outdir / f"{name}.png", np.asarray(img))
         elif self.mode == "mpl":
             self._update_mpl(name, np.asarray(img))
+        elif self.mode == "http":
+            self.server.update(name, np.asarray(img))
         elif self.mode == "callback" and self.callback is not None:
             self.callback(name, np.asarray(img))
+
+    def pop_keys(self) -> str:
+        """Remote key presses (http mode); empty elsewhere."""
+        return self.server.pop_keys() if self.server is not None else ""
+
+    def close(self) -> None:
+        if self.server is not None:
+            self.server.close()
 
     # ------------------------------------------------------------------
     def show_session_frame(self, session, raw_binned: np.ndarray,

@@ -1,0 +1,212 @@
+"""Live viewer over a socket: HTTP streaming of the session windows.
+
+The reference's display layer is six OpenCV HighGUI windows plus a
+blocking ``waitKey`` keyboard dispatch (BscanFFT.cpp:486-538, 1584-1917).
+On a headless TPU host there is no X11; this module serves the same
+windows over HTTP so any browser (or curl) on the operator's machine is
+the display, and key presses flow back over the same socket:
+
+- ``GET /``                 — HTML dashboard: live <img> per window, key
+                              events forwarded via ``fetch POST /key``.
+- ``GET /stream/<name>``    — ``multipart/x-mixed-replace`` PNG stream of
+                              one window (push: a part is sent whenever
+                              the session publishes a new frame).
+- ``GET /frame/<name>.png`` — latest frame, single shot (for curl/tests).
+- ``POST /key``             — body characters are queued; the session
+                              loop drains them with :meth:`pop_keys`,
+                              exactly where the reference polls waitKey.
+- ``GET /status.json``      — window list + frame counters.
+
+Pure stdlib (http.server, threading) + PIL for PNG encoding; no external
+services.  The server runs in daemon threads; ``update()`` from the
+session loop is non-blocking (encode + swap under a lock).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_INDEX_HTML = """<!doctype html>
+<html><head><title>fdoct live</title><style>
+ body { background:#111; color:#ddd; font-family: monospace; }
+ .w { display:inline-block; margin:6px; vertical-align:top; }
+ .w div { padding:2px 0; color:#8bc; }
+ img { image-rendering: pixelated; border:1px solid #333; }
+ #help { color:#777; }
+</style></head><body>
+<div id="help">keys are sent to the session (s=save, b=background,
+p=pi/J0 frame, +/- exposure, ]/[ threshold, x=quit ...)</div>
+<div id="windows"></div>
+<script>
+fetch('/status.json').then(r => r.json()).then(st => {
+  const box = document.getElementById('windows');
+  for (const name of st.windows) {
+    const d = document.createElement('div'); d.className = 'w';
+    d.innerHTML = '<div>' + name + '</div>' +
+      '<img src="/stream/' + name + '">';
+    box.appendChild(d);
+  }
+});
+document.addEventListener('keydown', ev => {
+  if (ev.key.length === 1)
+    fetch('/key', {method: 'POST', body: ev.key});
+  else if (ev.key === 'Escape')
+    fetch('/key', {method: 'POST', body: '\\x1b'});
+});
+</script></body></html>"""
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    mode = "RGB" if arr.ndim == 3 else "L"
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+class ViewerServer:
+    """Publish window images over HTTP; collect key presses.
+
+    Thread-safe: ``update`` may be called from the session loop while
+    handler threads stream.  ``port=0`` binds an ephemeral port (read it
+    back from ``.port``).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8089,
+                 max_fps: float = 30.0):
+        self._min_period = 1.0 / max_fps if max_fps > 0 else 0.0
+        self._last: dict[str, float] = {}
+        self._frames: dict[str, bytes] = {}
+        self._seq: dict[str, int] = {}
+        self._cond = threading.Condition()
+        self._keys: list[str] = []
+        self._klock = threading.Lock()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, ctype: str, body: bytes) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                if self.path in ("/", "/index.html"):
+                    self._send(200, "text/html", _INDEX_HTML.encode())
+                elif self.path == "/status.json":
+                    with server._cond:
+                        st = {"windows": sorted(server._frames),
+                              "frames": dict(server._seq)}
+                    self._send(200, "application/json",
+                               json.dumps(st).encode())
+                elif self.path.startswith("/frame/"):
+                    name = self.path[len("/frame/"):].removesuffix(".png")
+                    with server._cond:
+                        data = server._frames.get(name)
+                    if data is None:
+                        self._send(404, "text/plain", b"no such window\n")
+                    else:
+                        self._send(200, "image/png", data)
+                elif self.path.startswith("/stream/"):
+                    self._stream(self.path[len("/stream/"):])
+                else:
+                    self._send(404, "text/plain", b"not found\n")
+
+            def _stream(self, name: str) -> None:
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame")
+                self.end_headers()
+                seen = -1
+                try:
+                    while not server._closed:
+                        with server._cond:
+                            server._cond.wait_for(
+                                lambda: server._closed
+                                or server._seq.get(name, -1) != seen,
+                                timeout=1.0)
+                            data = server._frames.get(name)
+                            seen = server._seq.get(name, -1)
+                        if data is None:
+                            continue
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/png\r\n"
+                            b"Content-Length: %d\r\n\r\n" % len(data))
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def do_POST(self):  # noqa: N802
+                if self.path == "/key":
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n).decode(errors="replace")
+                    with server._klock:
+                        server._keys.extend(body)
+                    self._send(200, "text/plain", b"ok\n")
+                else:
+                    self._send(404, "text/plain", b"not found\n")
+
+        self._closed = False
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}/"
+
+    def update(self, name: str, img: np.ndarray) -> None:
+        """Publish a new frame for ``name`` (encodes PNG, wakes streams).
+
+        Rate-limited per window (``max_fps``): the session loop can run far
+        faster than any display needs, and the PNG encode is synchronous —
+        excess updates are dropped, not queued."""
+        now = time.monotonic()
+        if self._min_period and now - self._last.get(name, 0.0) < self._min_period:
+            return
+        self._last[name] = now
+        data = _encode_png(img)
+        with self._cond:
+            self._frames[name] = data
+            self._seq[name] = self._seq.get(name, 0) + 1
+            self._cond.notify_all()
+
+    def pop_keys(self) -> str:
+        """Drain queued browser key presses (the waitKey replacement)."""
+        with self._klock:
+            keys, self._keys = self._keys, []
+        return "".join(keys)
+
+    def close(self) -> None:
+        self._closed = True
+        with self._cond:
+            self._cond.notify_all()
+        self._httpd.shutdown()
+        self._httpd.server_close()

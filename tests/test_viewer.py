@@ -56,3 +56,91 @@ class TestViewerFilesMode:
         v = Viewer(mode="callback", callback=lambda n, i: None)
         with pytest.raises(ValueError):
             v.update("nope", np.zeros((2, 2)))
+
+
+class TestViewerServer:
+    """Live viewer over a socket (fdoct_tpu/viewer_server.py) — the remote
+    replacement for the reference's HighGUI windows + waitKey dispatch."""
+
+    @pytest.fixture()
+    def server(self):
+        from fdoct_tpu.viewer_server import ViewerServer
+        srv = ViewerServer(port=0)
+        yield srv
+        srv.close()
+
+    def test_snapshot_roundtrip(self, server):
+        import io
+        import urllib.request
+        from PIL import Image
+
+        img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+        server.update("bscan", img)
+        url = f"http://127.0.0.1:{server.port}/frame/bscan.png"
+        data = urllib.request.urlopen(url, timeout=5).read()
+        back = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(back, img)
+
+    def test_missing_window_404(self, server):
+        import urllib.error
+        import urllib.request
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/frame/nope.png", timeout=5)
+        assert e.value.code == 404
+
+    def test_stream_delivers_updates(self, server):
+        import http.client
+
+        server.update("show", np.zeros((4, 4), np.uint8))
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=5)
+        conn.request("GET", "/stream/show")
+        resp = conn.getresponse()
+        assert "multipart/x-mixed-replace" in resp.headers["Content-Type"]
+        first = resp.fp.readline()          # --frame boundary
+        assert b"--frame" in first
+        ctype = resp.fp.readline()
+        assert b"image/png" in ctype
+        clen = int(resp.fp.readline().split(b":")[1])
+        resp.fp.readline()                  # blank
+        body = resp.fp.read(clen)
+        assert body.startswith(b"\x89PNG")
+        conn.close()
+
+    def test_keys_round_trip(self, server):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/key", data=b"sb+",
+            method="POST")
+        urllib.request.urlopen(req, timeout=5)
+        # poll: handler thread may still be appending
+        for _ in range(100):
+            keys = server.pop_keys()
+            if keys:
+                break
+        assert keys == "sb+"
+        assert server.pop_keys() == ""
+
+    def test_viewer_http_mode_session_loop(self):
+        import urllib.request
+
+        cfg = PipelineConfig(width=64, height=8, averages=2,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = SyntheticSource(height=8, width=64, depths_um=(20.0,))
+        s = Session(cfg)
+        v = Viewer(mode="http", port=0)
+        try:
+            it = iter(src.frames())
+            for _ in range(2):
+                raw = next(it)
+                r = s.process(raw)
+                v.show_session_frame(s, raw, r)
+            url = f"http://127.0.0.1:{v.server.port}/status.json"
+            import json as _json
+            st = _json.loads(urllib.request.urlopen(url, timeout=5).read())
+            assert "show" in st["windows"] and "bscan" in st["windows"]
+        finally:
+            v.close()

@@ -78,6 +78,8 @@ def cmd_sim(args) -> int:
     from fdoct_tpu.sinks import RunWriter
 
     cfg = _load_cfg(args).replace(donotnormalize=False)  # sim normalizes input
+    if getattr(args, "strict_sim", False):
+        cfg = cfg.replace(simcopyto=True)
     src = _make_source(args, cfg)
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
@@ -531,6 +533,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--debug-dump", action="store_true",
                     help="save first-frame linearized spectrum + "
                          "nearestkindex (BscanFFTsim debug dump)")
+    sp.add_argument("--strict-sim", action="store_true",
+                    help="emulate the simulator's copyTo averaging slot "
+                         "exactly (only the last frame of each group is "
+                         "displayed; see config.simcopyto)")
     sp.set_defaults(fn=cmd_sim)
 
     sp = sub.add_parser("live", help="streaming session")

@@ -97,6 +97,12 @@ class PipelineConfig:
     matmul_precision: str = "default"  # "default" (TPU bf16 passes, ~1e-3
     # rel, fastest) | "highest" (f32-exact, ~2x slower on TPU)
     window: str = "barthann"        # apodization window kind (ops.windows)
+    simcopyto: bool = False         # strict-compat: emulate the simulator's
+    # copyTo-instead-of-accumulate averaging slot (BscanFFTsim.cpp:940-941):
+    # only the last frame of a group survives, the group-completing frame is
+    # dropped (if/else vs the live app's two ifs, BscanFFT.cpp:1193-1211),
+    # there is no ÷averages, and the log guard is 1e-6 (BscanFFTsim.cpp:949).
+    # Off by default: accumulating like the live app is the intended behavior.
     dispersion_a2: float = 0.0      # dispersion compensation phase: a2*(k-k0)^2
     dispersion_a3: float = 0.0      # + a3*(k-k0)^3  [rad·(rad/m)^-n]
 

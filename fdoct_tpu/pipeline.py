@@ -186,17 +186,19 @@ def reconstruct(raw_frames: jnp.ndarray, background: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "averages"))
 def form_bscan(mag_sum: jnp.ndarray, cfg: PipelineConfig,
                averages: int = 1,
-               bscanthreshold: float | jnp.ndarray | None = None) -> BscanOutputs:
+               bscanthreshold: float | jnp.ndarray | None = None,
+               eps: float = 1e-5) -> BscanOutputs:
     """Accumulated magnitudes → displayed B-scan (reference:
     BscanFFT.cpp:1211-1255).
 
     mag_sum: (oph, ndisp) sum over ``averages`` frames (the reference's
     ``bscantransposed``).  Returns linear, dB and uint8-display images,
-    all (depth, lateral).
+    all (depth, lateral).  ``eps`` is the log guard — 1e-5 in the live app
+    (BscanFFT.cpp:1222), 1e-6 in the simulator (BscanFFTsim.cpp:949).
     """
     thresh = cfg.bscanthreshold if bscanthreshold is None else bscanthreshold
     bscan = mag_sum.T / averages                      # transpose, ÷N (1220-1221)
-    bscan = bscan + 1e-5                              # log guard (1222)
+    bscan = bscan + eps                               # log guard (1222)
     bscandb = to_db(bscan, eps=0.0, compat=cfg.compat)  # 20·ln/2.303 (1235-1237)
     bscandb = mask_dc_rows(bscandb)                   # rows 0,1 ← row 4 (1239-1240)
     disp = threshold_floor(bscandb, thresh)           # display floor (1247)

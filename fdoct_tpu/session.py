@@ -338,6 +338,18 @@ class Session:
         mags = ascan_mags(yr, self.calib, self.method)
 
         # accumulate (BscanFFT.cpp:1193-1209)
+        if self.variant == "sim" and cfg.simcopyto:
+            # strict simulator emulation (BscanFFTsim.cpp:935-947): copyTo
+            # replaces the accumulator, and the if/else means the frame that
+            # completes the group is dropped, so a group spans averages+1
+            # frames of which only the last copied one is displayed
+            if self.indextemp < self.averagestoggle:
+                self.accum = mags
+                if cfg.saveframes:
+                    ring["bscan"].append(np.asarray(mags))
+                self.indextemp += 1
+                return None
+            return self._finish_group()
         self.accum = self.accum + mags
         if cfg.saveframes:
             ring["bscan"].append(np.asarray(mags))
@@ -462,8 +474,11 @@ class Session:
             bscan_lin = mag_sum.T / self.averagestoggle
             bscan_lin = bscan_rebin(bscan_lin, cfg.bscanbinx, cfg.bscanbiny, mult)
             mag_sum = bscan_lin.T * self.averagestoggle
-        out = form_bscan(mag_sum, cfg, self.averagestoggle,
-                         bscanthreshold=self.bscanthreshold)
+        strict_sim = self.variant == "sim" and cfg.simcopyto
+        out = form_bscan(mag_sum, cfg,
+                         1 if strict_sim else self.averagestoggle,
+                         bscanthreshold=self.bscanthreshold,
+                         eps=1e-6 if strict_sim else 1e-5)
         bscan_np = np.asarray(out.bscan)
         result = BscanResult(
             bscan=bscan_np, bscandb=np.asarray(out.bscandb),

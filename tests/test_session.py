@@ -222,3 +222,55 @@ class TestSaves:
         import numpy as np
         data = np.load(sink.dir / "BscanFFT.npz")
         assert "bscan001" in data
+
+
+class TestSimCopyToStrict:
+    """Strict simulator averaging emulation (cfg.simcopyto): the sim's
+    copyTo-instead-of-accumulate slot (BscanFFTsim.cpp:935-947) keeps only
+    the last frame of a group, drops the group-completing frame, skips the
+    ÷averages, and uses the 1e-6 log guard (BscanFFTsim.cpp:949)."""
+
+    def _cfg(self, **kw):
+        return PipelineConfig(width=128, height=16, binvalue=1, averages=3,
+                              numfftpoints=256, numdisplaypoints=80,
+                              dtype="float64", compat=True, **kw)
+
+    def test_group_spans_averages_plus_one_frames(self):
+        cfg = self._cfg(simcopyto=True)
+        src = SyntheticSource(height=cfg.height, width=cfg.width,
+                              depths_um=(40.0,), reflectivities=(0.5,))
+        s = Session(cfg, variant="sim")
+        results = feed(s, src, 8)
+        # strict groups take averages+1 = 4 frames each → 2 groups in 8
+        assert len(results) == 2
+
+    def test_only_last_copied_frame_survives_no_division(self):
+        import jax.numpy as jnp
+
+        from fdoct_tpu.pipeline import (
+            apodize_ratio, ascan_mags, form_bscan, preprocess)
+
+        cfg = self._cfg(simcopyto=True)
+        s = Session(cfg, variant="sim")
+        rng = np.random.default_rng(7)
+        frames = [rng.integers(1, 255, (16, 128)).astype(np.uint8)
+                  for _ in range(4)]
+        rs = [s.process(f) for f in frames]
+        assert rs[:3] == [None, None, None] and rs[3] is not None
+
+        # oracle: frame index 2 (the last one copied) alone, eps 1e-6, ÷1
+        y = preprocess(jnp.asarray(frames[2]), cfg)
+        yr = apodize_ratio(y, s.data_yb, s.data_yp, cfg)
+        mags = ascan_mags(yr, s.calib, s.method)
+        want = form_bscan(mags, cfg, 1, bscanthreshold=s.bscanthreshold,
+                          eps=1e-6)
+        np.testing.assert_allclose(rs[3].bscandb, np.asarray(want.bscandb),
+                                   rtol=1e-12)
+
+    def test_default_sim_accumulates_like_live_app(self):
+        cfg = self._cfg()
+        src = SyntheticSource(height=cfg.height, width=cfg.width,
+                              depths_um=(40.0,), reflectivities=(0.5,))
+        s = Session(cfg, variant="sim")
+        results = feed(s, src, 6)
+        assert len(results) == 2  # averages=3 → groups every 3 frames

@@ -40,6 +40,26 @@ def _load_cfg(args) -> "PipelineConfig":
 def _make_source(args, cfg):
     from fdoct_tpu.sources import ReplaySource, SyntheticSource
 
+    if getattr(args, "camera", None):
+        # live hardware path: frames come from the native shared-memory ring
+        # (the GetQHYCCDLiveFrame seat, BscanFFT.cpp:948); the daemon owns
+        # the device, this process owns the TPU
+        from fdoct_tpu.sources.camera import CameraSource
+        spec = getattr(args, "camera_daemon", "synthetic")
+        if spec == "none":
+            daemon_args = None
+        elif spec == "synthetic":
+            daemon_args = ["--synthetic"]
+        elif spec.startswith("pgm:"):
+            daemon_args = ["--pgm", spec[4:]]
+        elif spec.startswith("v4l2:"):
+            daemon_args = ["--v4l2", spec[5:]]
+        else:
+            raise SystemExit(f"unknown --camera-daemon {spec!r}")
+        return CameraSource(args.camera, daemon_args=daemon_args,
+                            width=cfg.width, height=cfg.height,
+                            bpp=16 if cfg.bpp > 8 else 8,
+                            fps=getattr(args, "camera_fps", 100.0))
     if getattr(args, "image", None):
         base = Path(args.image).parent
         return ReplaySource(
@@ -526,6 +546,15 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--image", help="interferogram PNG to replay")
             sp.add_argument("--background", help="background PNG")
             sp.add_argument("--pi", help="pi-shifted PNG")
+            sp.add_argument("--camera", metavar="RING",
+                            help="read frames from a native shared-memory "
+                                 "ring (the camera shim; spawns the capture "
+                                 "daemon unless --camera-daemon none)")
+            sp.add_argument("--camera-daemon", default="synthetic",
+                            help="daemon source: synthetic | pgm:DIR | "
+                                 "v4l2:DEV | none (attach to an already-"
+                                 "running daemon's ring)")
+            sp.add_argument("--camera-fps", type=float, default=100.0)
 
     sp = sub.add_parser("sim", help="replay reconstruction")
     common(sp)

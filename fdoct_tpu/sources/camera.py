@@ -107,6 +107,10 @@ class RingReader:
         deadline = time.monotonic() + timeout_s
         ptr = self._buf.ctypes.data_as(ctypes.c_char_p)
         while time.monotonic() < deadline:
+            if self.lib.fdoct_ring_head(self.h) < self.last_seq:
+                # head went backwards: the writer restarted and re-zeroed
+                # the ring header (new epoch) — resync from the start
+                self.last_seq = 0
             seq = self.lib.fdoct_ring_latest(self.h, self.last_seq, ptr)
             if seq:
                 self.last_seq = seq
@@ -157,20 +161,29 @@ class CameraSource:
                str(bpp), str(nslots), str(fps)] + self.daemon_args
         self.proc = subprocess.Popen(cmd)
 
+    def _restart(self) -> bool:
+        if self.daemon_args is None or self.restarts >= self.max_restarts:
+            return False
+        self.restarts += 1
+        if self.proc is not None:
+            self.proc.kill()
+            self.proc.wait(timeout=5)
+        self._spawn()
+        return True
+
     def frames(self) -> Iterator[np.ndarray]:
         while True:
+            # watchdog, fast path: daemon exited — restart immediately
+            # rather than serving stale ring frames until the starve timeout
+            if (self.proc is not None and self.proc.poll() is not None
+                    and not self._restart()):
+                raise TimeoutError("camera daemon died")
             frame = self.reader.latest(timeout_s=self.starve_timeout_s)
             if frame is None:
-                if (self.daemon_args is not None
-                        and self.restarts < self.max_restarts):
-                    # watchdog: daemon died or wedged — restart it
-                    self.restarts += 1
-                    if self.proc is not None:
-                        self.proc.kill()
-                        self.proc.wait(timeout=5)
-                    self._spawn()
-                    continue
-                raise TimeoutError("camera ring starved")
+                # watchdog, slow path: daemon alive but wedged (no frames)
+                if not self._restart():
+                    raise TimeoutError("camera ring starved")
+                continue
             yield frame
 
     def background(self) -> np.ndarray:

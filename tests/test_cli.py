@@ -139,6 +139,28 @@ class TestLive:
         assert rc == 0
 
 
+class TestLiveCamera:
+    @pytest.mark.skipif(__import__("shutil").which("g++") is None,
+                        reason="no C++ toolchain")
+    def test_live_from_camera_ring(self, small_ini, tmp_path, monkeypatch):
+        """live --camera: frames arrive via the native shared-memory ring
+        fed by the spawned capture daemon (the hardware seat)."""
+        import io
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--camera", str(tmp_path / "cam.ring"),
+                   "--camera-fps", "300", "--frames", "3"])
+        assert rc == 0
+        assert any(p.is_dir() for p in tmp_path.iterdir())  # run dir created
+
+    def test_bad_camera_daemon_spec(self, small_ini, tmp_path):
+        with pytest.raises(SystemExit):
+            main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                  "--camera", str(tmp_path / "x.ring"),
+                  "--camera-daemon", "bogus", "--frames", "1"])
+
+
 class TestCscan:
     def test_cscan_writes_volume(self, small_ini, tmp_path):
         rc = main(["cscan", "--config", small_ini, "--outdir", str(tmp_path),

@@ -37,6 +37,9 @@ def _load_cfg(args) -> "PipelineConfig":
     return PipelineConfig()
 
 
+_open_sources: list = []   # sources needing close() (daemon-owning), see main()
+
+
 def _make_source(args, cfg):
     from fdoct_tpu.sources import ReplaySource, SyntheticSource
 
@@ -56,10 +59,12 @@ def _make_source(args, cfg):
             daemon_args = ["--v4l2", spec[5:]]
         else:
             raise SystemExit(f"unknown --camera-daemon {spec!r}")
-        return CameraSource(args.camera, daemon_args=daemon_args,
-                            width=cfg.width, height=cfg.height,
-                            bpp=16 if cfg.bpp > 8 else 8,
-                            fps=getattr(args, "camera_fps", 100.0))
+        src = CameraSource(args.camera, daemon_args=daemon_args,
+                           width=cfg.width, height=cfg.height,
+                           bpp=16 if cfg.bpp > 8 else 8,
+                           fps=getattr(args, "camera_fps", 100.0))
+        _open_sources.append(src)
+        return src
     if getattr(args, "image", None):
         base = Path(args.image).parent
         return ReplaySource(
@@ -152,8 +157,16 @@ def cmd_live(args) -> int:
                        "peak": "peak", "spinjnt": "spinj",
                        "viewport": "base", "viewportc": "base"}.get(
                            args.variant, "base")
-    s = Session(cfg, variant=session_variant, sink=sink, source=src,
-                method=args.method)
+    if getattr(args, "resume", None):
+        # resume: stored config wins; calibration tensors + knobs restored
+        # (the reference's re-capturable ini+frames state, SURVEY.md §5)
+        from fdoct_tpu.utils.checkpoint import load_session
+        s = load_session(args.resume, variant=session_variant, sink=sink,
+                         source=src, method=args.method)
+        print(f"resumed session from {args.resume}", file=sys.stderr)
+    else:
+        s = Session(cfg, variant=session_variant, sink=sink, source=src,
+                    method=args.method)
     viewer = None
     if args.viewer or args.viewer_mode == "http":
         from fdoct_tpu.viewer import Viewer
@@ -180,6 +193,11 @@ def cmd_live(args) -> int:
         if r is not None and args.verbose:
             print(f"bscan group done (n={n}), peak "
                   f"{r.bscandb.max():.1f} dB", file=sys.stderr)
+    if getattr(args, "checkpoint", None):
+        from fdoct_tpu.utils.checkpoint import save_session
+        save_session(s, args.checkpoint)
+        print(f"session checkpoint saved to {args.checkpoint}",
+              file=sys.stderr)
     s.close()
     if viewer is not None:
         viewer.close()
@@ -572,6 +590,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--frames", type=int, default=0, help="0 = until 'x' key")
     sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--checkpoint", metavar="PATH",
+                    help="save session state (config + calibration tensors "
+                         "+ knobs) here on exit")
+    sp.add_argument("--resume", metavar="PATH",
+                    help="restore session state from a checkpoint "
+                         "(npz file or orbax dir) instead of starting cold")
     sp.add_argument("--viewer", default="",
                     help="render display windows into this directory")
     sp.add_argument("--viewer-mode", default="files",
@@ -647,7 +671,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    finally:
+        # stop any spawned capture daemons (no orphans on exit or when
+        # main() is called in-process)
+        while _open_sources:
+            _open_sources.pop().close()
 
 
 if __name__ == "__main__":

@@ -153,12 +153,29 @@ class TestLiveCamera:
                    "--camera-fps", "300", "--frames", "3"])
         assert rc == 0
         assert any(p.is_dir() for p in tmp_path.iterdir())  # run dir created
+        from fdoct_tpu.cli import _open_sources
+        assert not _open_sources  # daemon stopped, no orphan
 
     def test_bad_camera_daemon_spec(self, small_ini, tmp_path):
         with pytest.raises(SystemExit):
             main(["live", "--config", small_ini, "--outdir", str(tmp_path),
                   "--camera", str(tmp_path / "x.ring"),
                   "--camera-daemon", "bogus", "--frames", "1"])
+
+
+class TestLiveCheckpoint:
+    def test_checkpoint_then_resume(self, small_ini, tmp_path, monkeypatch):
+        import io
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        ckpt = tmp_path / "sess.npz"
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "2", "--checkpoint", str(ckpt)])
+        assert rc == 0 and ckpt.exists()
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "2", "--resume", str(ckpt)])
+        assert rc == 0
 
 
 class TestCscan:

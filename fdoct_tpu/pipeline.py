@@ -103,7 +103,22 @@ def ascan_mags_fused(yr: jnp.ndarray, calib: Calibration,
     ``precision``: 'default' uses the TPU's fast matmul passes (~1e-3
     relative vs the FFT path — ~0.01 dB, display-invisible); 'highest'
     forces f32-exact accumulation at ~2x matmul cost.
+
+    In the f32/'default' production configuration the operands are cast to
+    bfloat16 explicitly (f32 accumulation via preferred_element_type).
+    TPU DEFAULT matmul precision already rounds f32 operands to bf16 per
+    pass, so this is numerically identical — but it halves the matmul's
+    HBM read traffic: measured 38.1 -> 43.9 M A-scans/s on v5e
+    (scripts/bench_resident.py, honest differenced timing).
     """
+    if (precision != "highest" and yr.dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
+        z = yr.astype(jnp.bfloat16)
+        re = jnp.matmul(z, calib.op_re.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        im = jnp.matmul(z, calib.op_im.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        return jnp.sqrt(re * re + im * im)
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     re = jnp.matmul(yr, calib.op_re, preferred_element_type=yr.dtype,

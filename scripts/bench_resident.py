@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""One-off TPU benchmark: Pallas reconstruction kernels vs the fused-operator
-XLA path (see TODO.md perf item).  Uses the scan-chained driver (GROUPS
-averaging groups per dispatch) so the dev tunnel's ~0.5-0.8 ms per-dispatch
-RTT is amortized — per-call timing through the tunnel measures the tunnel,
-not the chip.  Each phase prints progress with flush; failures (e.g. Mosaic
-VMEM OOM at a tile size) are caught per path.
-"""
+"""TPU benchmark: Pallas reconstruction kernels vs the fused-operator XLA
+path, under HONEST timing (see bench.py docstring: through the dev tunnel
+`block_until_ready` does not wait, so we force completion with a scalar
+fetch and difference two scan lengths so tunnel RTT cancels).  Frames are
+generated on-device.  Each phase prints progress with flush; failures
+(e.g. Mosaic VMEM OOM at a tile size) are caught per path."""
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
@@ -17,7 +17,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 ROWS, COLS, NFFT, NDISP, BATCH = 512, 2048, 2048, 512, 8
-GROUPS = 8
+G1, G2 = 64, 256
+REPEATS = 4
 
 
 def main() -> None:
@@ -41,41 +42,48 @@ def main() -> None:
     calib = Calibration.create(cfg)
     dev = jax.devices()[0]
 
-    rng = np.random.default_rng(0)
-    raw = jax.device_put(
-        rng.integers(0, 255, (GROUPS, BATCH, ROWS, COLS)).astype(np.uint8), dev)
-    pi = jax.device_put(jnp.zeros((ROWS, COLS), jnp.float32), dev)
-    invb = jax.device_put(jnp.full((ROWS, COLS), 1 / 128.0, jnp.float32), dev)
+    pi = jnp.zeros((ROWS, COLS), jnp.float32)
+    invb = jnp.full((ROWS, COLS), 1 / 128.0, jnp.float32)
     bg = jax.device_put(jnp.full((ROWS, COLS), 128.0, jnp.float32), dev)
     op_re = jnp.asarray(calib.op_re, jnp.float32)
     op_im = jnp.asarray(calib.op_im, jnp.float32)
 
-    def scan_driver(group_fn):
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_frames(g):
+        key = jax.random.PRNGKey(0)
+        return jax.random.randint(
+            key, (g, BATCH, ROWS, COLS), 0, 255, jnp.int32).astype(jnp.uint8)
+
+    frames = {g: gen_frames(g) for g in (G1, G2)}
+    for f in frames.values():
+        f.block_until_ready()
+
+    def timeit(name, group_fn):
         @jax.jit
         def run(all_raw):
-            return jax.lax.scan(
-                lambda c, fr: (c, group_fn(fr)), 0, all_raw)[1]
-        return run
+            def step(c, fr):
+                return c + group_fn(fr).sum(), 0.0
+            return jax.lax.scan(step, jnp.float32(0), all_raw)[0]
 
-    def timeit(name, fn, *args):
         try:
             print(f"[{name}] compiling...", flush=True)
             t0 = time.perf_counter()
-            out = fn(*args)
-            out.block_until_ready()
+            ref = float(run(frames[G1]))
+            float(run(frames[G2]))
             print(f"[{name}] compiled in {time.perf_counter()-t0:.1f}s",
                   flush=True)
-            for _ in range(3):
-                fn(*args).block_until_ready()
-            n = 10
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn(*args)
-            out.block_until_ready()
-            dt = (time.perf_counter() - t0) / (n * GROUPS)
-            print(f"[{name}] {dt*1e3:.3f} ms/group = "
-                  f"{BATCH*ROWS/dt/1e6:.2f} M ascans/s", flush=True)
-            return out
+            ts = {}
+            for g in (G1, G2):
+                best = float("inf")
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    float(run(frames[g]))
+                    best = min(best, time.perf_counter() - t0)
+                ts[g] = best
+            per = (ts[G2] - ts[G1]) / (G2 - G1)
+            print(f"[{name}] {per*1e3:.3f} ms/group = "
+                  f"{BATCH*ROWS/per/1e6:.2f} M ascans/s", flush=True)
+            return ref
         except Exception as e:
             print(f"[{name}] FAILED: {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:300]}", flush=True)
@@ -83,35 +91,45 @@ def main() -> None:
 
     def xla_group(fr):
         return reconstruct(fr, bg, pi, calib, cfg, method="fused").sum(axis=0)
+    ref = timeit("xla_fused_f32", xla_group)
 
-    ref = timeit("xla_fused", scan_driver(xla_group), raw)
+    def check(name, val):
+        if val is not None and ref is not None:
+            err = abs(val - ref) / (abs(ref) + 1e-9)
+            print(f"[{name}] scalar rel err vs xla_fused: {err:.3e}",
+                  flush=True)
 
-    def check(name, out):
-        if out is not None and ref is not None:
-            err = float(jnp.max(jnp.abs(out - ref) /
-                                (jnp.abs(ref) + 1e-6)))
-            print(f"[{name}] maxrel vs xla_fused: {err:.3e}", flush=True)
+    op_re16, op_im16 = op_re.astype(jnp.bfloat16), op_im.astype(jnp.bfloat16)
+
+    def xla_bf16_group(fr):
+        y = fr.astype(jnp.float32)
+        yr = ((y - pi) * invb).astype(jnp.bfloat16)
+        z = yr.reshape(BATCH * ROWS, COLS)
+        re = jnp.dot(z, op_re16, preferred_element_type=jnp.float32)
+        im = jnp.dot(z, op_im16, preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)
+        return mag.reshape(BATCH, ROWS, NDISP).sum(axis=0)
+    check("xla_bf16", timeit("xla_bf16", xla_bf16_group))
 
     def yr_group(fr):
         y = fr.astype(jnp.float32)
         yr = (y - pi) * invb
         return fused_recon_accumulate(yr, op_re, op_im)
+    check("pallas_yr", timeit("pallas_yr", yr_group))
 
-    check("pallas_yr", timeit("pallas_yr", scan_driver(yr_group), raw))
-
-    for tr, td in ((128, 256), (128, 512), (256, 256)):
+    for tr, td in ((128, 512), (256, 512), (256, 256)):
         def raw_group(fr, tr=tr, td=td):
             return fused_recon_raw_accumulate(
                 fr, pi, invb, op_re, op_im, tile_rows=tr, tile_depth=td)
         check(f"pallas_raw_{tr}x{td}",
-              timeit(f"pallas_raw_{tr}x{td}", scan_driver(raw_group), raw))
+              timeit(f"pallas_raw_{tr}x{td}", raw_group))
 
     for tr in (256, 128):
         def res_group(fr, tr=tr):
             return fused_recon_resident(fr, pi, invb, op_re, op_im,
                                         tile_rows=tr)
         check(f"resident_bf16_{tr}",
-              timeit(f"resident_bf16_{tr}", scan_driver(res_group), raw))
+              timeit(f"resident_bf16_{tr}", res_group))
 
 
 if __name__ == "__main__":

@@ -157,16 +157,29 @@ def cmd_live(args) -> int:
                        "peak": "peak", "spinjnt": "spinj",
                        "viewport": "base", "viewportc": "base"}.get(
                            args.variant, "base")
+    # live camera control loop: exposure/gain keys flow Session → this
+    # callback → ring control block → daemon → device (the reference's
+    # SetQHYCCDParam key seam, BscanFFT.cpp:1600-1624).  Initialized from
+    # the config the way the reference pushes ini values at camera init
+    # (BscanFFT.cpp:873-886).
+    camera_cb = getattr(src, "set_param", None)
+    if camera_cb is not None:
+        camera_cb("exposure", cfg.exposure_us)
+        camera_cb("gain", cfg.gain)
     if getattr(args, "resume", None):
         # resume: stored config wins; calibration tensors + knobs restored
         # (the reference's re-capturable ini+frames state, SURVEY.md §5)
         from fdoct_tpu.utils.checkpoint import load_session
         s = load_session(args.resume, variant=session_variant, sink=sink,
-                         source=src, method=args.method)
+                         source=src, method=args.method, camera=camera_cb)
+        if camera_cb is not None:
+            # restored knobs win over the config defaults pushed above
+            camera_cb("exposure", s.exposure_us)
+            camera_cb("gain", s.gain)
         print(f"resumed session from {args.resume}", file=sys.stderr)
     else:
         s = Session(cfg, variant=session_variant, sink=sink, source=src,
-                    method=args.method)
+                    method=args.method, camera=camera_cb)
     viewer = None
     if args.viewer or args.viewer_mode == "http":
         from fdoct_tpu.viewer import Viewer
@@ -670,6 +683,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("FDOCT_PLATFORM"):
+        # this environment's TPU plugin overrides JAX_PLATFORMS, so honor an
+        # explicit platform request via jax.config (the conftest.py route) —
+        # lets smoke tests / CI run the CLI on CPU without the minutes-long
+        # tunnel backend init
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["FDOCT_PLATFORM"])
     args = build_parser().parse_args(argv)
     try:
         return args.fn(args)

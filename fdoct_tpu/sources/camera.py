@@ -20,6 +20,13 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 
+# control-slot indices in the ring header's control block — must match the
+# enum in native/capture_daemon.cpp.  The channel is the live-camera control
+# loop: exposure/gain keys land here and the daemon applies them to the
+# running device (the reference's SetQHYCCDParam-from-the-key-switch seam,
+# BscanFFT.cpp:1600-1624).
+CTRL_PARAMS = {"exposure": 0, "gain": 1, "gamma": 2, "fps": 3}
+
 
 def _build_native() -> None:
     subprocess.run(["make", "-C", str(_NATIVE_DIR),
@@ -53,6 +60,18 @@ def load_ring_lib(build: bool = True) -> ctypes.CDLL:
                                    ctypes.c_char_p]
     lib.fdoct_ring_head.restype = ctypes.c_uint64
     lib.fdoct_ring_head.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_set_ctrl.restype = None
+    lib.fdoct_ring_set_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                        ctypes.c_double]
+    lib.fdoct_ring_get_ctrl.restype = ctypes.c_double
+    lib.fdoct_ring_get_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+    lib.fdoct_ring_poll_ctrl.restype = ctypes.c_int
+    lib.fdoct_ring_poll_ctrl.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_double)]
+    lib.fdoct_ring_ctrl_applied.restype = ctypes.c_uint64
+    lib.fdoct_ring_ctrl_applied.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_ctrl_seq.restype = ctypes.c_uint64
+    lib.fdoct_ring_ctrl_seq.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -119,6 +138,30 @@ class RingReader:
             time.sleep(0.001)
         return None
 
+    # --- control channel (host → daemon) --------------------------------
+    def set_ctrl(self, param: str | int, value: float) -> None:
+        """Write one control parameter for the daemon to apply (the '+'/'-'
+        exposure key seam)."""
+        pid = CTRL_PARAMS[param] if isinstance(param, str) else int(param)
+        self.lib.fdoct_ring_set_ctrl(self.h, pid, float(value))
+
+    def get_ctrl(self, param: str | int) -> float:
+        pid = CTRL_PARAMS[param] if isinstance(param, str) else int(param)
+        return self.lib.fdoct_ring_get_ctrl(self.h, pid)
+
+    def ctrl_acknowledged(self) -> bool:
+        """True when the daemon has applied the latest control snapshot."""
+        return (self.lib.fdoct_ring_ctrl_applied(self.h)
+                == self.lib.fdoct_ring_ctrl_seq(self.h))
+
+    def wait_ctrl_applied(self, timeout_s: float = 2.0) -> bool:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self.ctrl_acknowledged():
+                return True
+            time.sleep(0.002)
+        return False
+
     def close(self) -> None:
         if self.h:
             self.lib.fdoct_ring_close(self.h)
@@ -148,6 +191,10 @@ class CameraSource:
         self.restarts = 0
         self.starve_timeout_s = starve_timeout_s
         self.proc = None
+        # last commanded control values; re-asserted after a daemon restart
+        # (a restarted daemon re-creates the ring header, zeroing the
+        # control block)
+        self._ctrl_state: dict[str, float] = {}
         if daemon_args is not None:
             self._spawn()
         self.reader = RingReader(ring_path)
@@ -169,7 +216,30 @@ class CameraSource:
             self.proc.kill()
             self.proc.wait(timeout=5)
         self._spawn()
+        # The ring preserves the control snapshot across a writer re-create
+        # (fdoct_ring.cpp), so the restarted daemon re-applies exposure/gain
+        # by itself.  Wait for that first apply (ctrl_applied becomes
+        # nonzero) before re-asserting, so a concurrent header re-init can't
+        # wipe the re-assert; the re-assert covers the ring-file-deleted
+        # case where nothing was preserved.
+        if self._ctrl_state:
+            deadline = time.monotonic() + 5.0
+            while (time.monotonic() < deadline
+                   and self.reader.lib.fdoct_ring_ctrl_applied(self.reader.h) == 0):
+                time.sleep(0.005)
+            for name, value in self._ctrl_state.items():
+                self.reader.set_ctrl(name, value)
         return True
+
+    def set_param(self, param: str, value: float) -> None:
+        """Session control callback (``Session(camera=src.set_param)``):
+        route an exposure/gain/gamma change to the daemon via the ring's
+        control block — the working counterpart of the reference's
+        SetQHYCCDParam key handlers (BscanFFT.cpp:1600-1624)."""
+        if param not in CTRL_PARAMS:
+            return  # unknown knobs are ignored, like an SDK without them
+        self._ctrl_state[param] = float(value)
+        self.reader.set_ctrl(param, value)
 
     def frames(self) -> Iterator[np.ndarray]:
         while True:

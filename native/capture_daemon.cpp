@@ -6,9 +6,24 @@
 // the Python/JAX host never links camera SDKs.  Sources:
 //
 //   --synthetic            deterministic moving interference pattern
+//                          (models exposure/gain: counts scale with the
+//                          commanded exposure like a real sensor)
 //   --pgm DIR              replay P5/PGM frames from a directory (loop)
 //   --v4l2 /dev/videoN     V4L2 capture via raw ioctls (YUYV -> Y plane),
 //                          no OpenCV/SDK dependency
+//   --qhy                  QHY SDK live stream (compile with
+//                          -DFDOCT_WITH_QHY; see stubs/qhyccd.h for the
+//                          CI-compilable seam) — the init chain of
+//                          hn-88/FDOCT BscanFFT.cpp:729-901
+//   --spinnaker            FLIR Spinnaker C-API stream (compile with
+//                          -DFDOCT_WITH_SPINNAKER; stubs/SpinnakerC.h) —
+//                          the nodemap config of BscanFFTspin.cpp:790-1100
+//
+// Control: the host writes exposure/gain/gamma/fps into the ring header's
+// control block (fdoct_ring_set_ctrl); this daemon polls it once per frame
+// and applies — the live-camera control loop the reference runs through
+// SetQHYCCDParam on the +/-/u/d/U/D keys (BscanFFT.cpp:1600-1624) and
+// Spinnaker's deferred expchanged apply (BscanFFTspin.cpp:1895-1903).
 //
 // Usage: capture_daemon RING_PATH WIDTH HEIGHT BPP NSLOTS FPS SOURCE [ARG]
 // Build: g++ -O2 -o capture_daemon capture_daemon.cpp
@@ -36,7 +51,11 @@ extern "C" {
 void *fdoct_ring_open(const char *, int, uint32_t, uint32_t, uint32_t, uint32_t);
 uint64_t fdoct_ring_push(void *, const uint8_t *);
 void fdoct_ring_close(void *);
+int fdoct_ring_poll_ctrl(void *, double *);
 }
+
+// control-slot indices (must match fdoct_tpu/sources/camera.py CTRL_PARAMS)
+enum { CTRL_EXPOSURE_US = 0, CTRL_GAIN = 1, CTRL_GAMMA = 2, CTRL_FPS = 3 };
 
 static volatile int g_stop = 0;
 extern "C" void handle_sigterm(int) { g_stop = 1; }
@@ -44,16 +63,21 @@ extern "C" void handle_sigterm(int) { g_stop = 1; }
 // ---------------------------------------------------------------------------
 
 static void synthetic_frame(std::vector<uint8_t> &buf, uint32_t w, uint32_t h,
-                            uint64_t t) {
+                            uint64_t t, double exposure_us, double gain) {
   // moving cosine fringe + gaussian envelope: cheap stand-in for a live
-  // interferogram so end-to-end streaming runs without hardware
+  // interferogram so end-to-end streaming runs without hardware.  Counts
+  // scale linearly with exposure (full scale at the 1000 µs default) and
+  // with gain (percent), saturating at 255 like a real 8-bit sensor — so
+  // the host's '+'/'-' keys have a measurable photometric effect.
+  const double scale = (exposure_us / 1000.0) * (1.0 + gain / 100.0);
   for (uint32_t y = 0; y < h; y++) {
     uint8_t *row = buf.data() + (size_t)y * w;
     for (uint32_t x = 0; x < w; x++) {
       double u = (double)x / w - 0.5;
       double env = std::exp(-u * u * 18.0);
       double fringe = std::cos(2.0 * M_PI * (0.08 * x + 0.01 * (double)t));
-      row[x] = (uint8_t)(127.5 * env * (1.0 + fringe));
+      double v = 127.5 * env * (1.0 + fringe) * scale;
+      row[x] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
     }
   }
 }
@@ -126,8 +150,183 @@ struct V4L2Source {
     ioctl(fd, VIDIOC_QBUF, &b);
     return true;
   }
+
+  // host control → driver controls.  Exposure lands on
+  // V4L2_CID_EXPOSURE_ABSOLUTE (units of 100 µs, manual mode forced);
+  // gain on V4L2_CID_GAIN.  Best-effort: devices without the control
+  // just ignore it (the reference's webcam variant likewise has no
+  // exposure control, BscanFFTwebcam.cpp).
+  void apply_ctrl(const double *vals) {
+    v4l2_control c = {};
+    c.id = V4L2_CID_EXPOSURE_AUTO;
+    c.value = V4L2_EXPOSURE_MANUAL;
+    ioctl(fd, VIDIOC_S_CTRL, &c);
+    c.id = V4L2_CID_EXPOSURE_ABSOLUTE;
+    c.value = (int32_t)(vals[CTRL_EXPOSURE_US] / 100.0 + 0.5);
+    if (c.value < 1) c.value = 1;
+    ioctl(fd, VIDIOC_S_CTRL, &c);
+    c.id = V4L2_CID_GAIN;
+    c.value = (int32_t)vals[CTRL_GAIN];
+    ioctl(fd, VIDIOC_S_CTRL, &c);
+  }
 };
 #endif
+
+// ---------------------------------------------------------------------------
+// SDK seams.  These compile against stub headers in native/stubs/ (CI) or
+// the real vendor SDKs (deployments); the daemon code is identical either
+// way, so the integration seam cannot rot.  With stubs, init fails cleanly
+// at "no camera found".
+
+#ifdef FDOCT_WITH_QHY
+#include <qhyccd.h>
+
+// QHY live-stream source: the init chain the reference runs at
+// BscanFFT.cpp:729-901 (InitQHYCCDResource → ScanQHYCCD → GetQHYCCDId →
+// OpenQHYCCD → SetQHYCCDStreamMode(live) → InitQHYCCD → bits/resolution →
+// SetQHYCCDParam(traffic, speed, exposure, gain) → BeginQHYCCDLive), then
+// GetQHYCCDLiveFrame per frame (BscanFFT.cpp:948).
+struct QHYSource {
+  qhyccd_handle *cam = nullptr;
+
+  bool open_dev(uint32_t w, uint32_t h, uint32_t bpp, double exposure_us,
+                double gain) {
+    if (InitQHYCCDResource() != QHYCCD_SUCCESS) return false;
+    const int n = ScanQHYCCD();
+    if (n <= 0) { fprintf(stderr, "qhy: no camera found\n"); return false; }
+    char id[64] = {0};
+    if (GetQHYCCDId(0, id) != QHYCCD_SUCCESS) return false;
+    cam = OpenQHYCCD(id);
+    if (!cam) return false;
+    if (SetQHYCCDStreamMode(cam, 1) != QHYCCD_SUCCESS) return false;  // live
+    if (InitQHYCCD(cam) != QHYCCD_SUCCESS) return false;
+    SetQHYCCDBitsMode(cam, bpp);
+    SetQHYCCDResolution(cam, 0, 0, w, h);
+    SetQHYCCDParam(cam, CONTROL_USBTRAFFIC, 20);
+    SetQHYCCDParam(cam, CONTROL_SPEED, 1);
+    SetQHYCCDParam(cam, CONTROL_EXPOSURE, exposure_us);
+    SetQHYCCDParam(cam, CONTROL_GAIN, gain);
+    return BeginQHYCCDLive(cam) == QHYCCD_SUCCESS;
+  }
+
+  bool grab(std::vector<uint8_t> &out, uint32_t w, uint32_t h) {
+    uint32_t rw = 0, rh = 0, rbpp = 0, rch = 0;
+    // the reference polls until a frame arrives (BscanFFT.cpp:946-950)
+    for (int tries = 0; tries < 1000; tries++) {
+      if (GetQHYCCDLiveFrame(cam, &rw, &rh, &rbpp, &rch, out.data()) ==
+          QHYCCD_SUCCESS && rw == w && rh == h)
+        return true;
+      usleep(100);
+    }
+    return false;
+  }
+
+  // live control re-apply: the SetQHYCCDParam key seam (BscanFFT.cpp:1600)
+  void apply_ctrl(const double *vals) {
+    SetQHYCCDParam(cam, CONTROL_EXPOSURE, vals[CTRL_EXPOSURE_US]);
+    SetQHYCCDParam(cam, CONTROL_GAIN, vals[CTRL_GAIN]);
+    if (vals[CTRL_GAMMA] > 0) SetQHYCCDParam(cam, CONTROL_GAMMA, vals[CTRL_GAMMA]);
+  }
+
+  void close_dev() {
+    if (cam) { StopQHYCCDLive(cam); CloseQHYCCD(cam); cam = nullptr; }
+    ReleaseQHYCCDResource();
+  }
+};
+#endif  // FDOCT_WITH_QHY
+
+#ifdef FDOCT_WITH_SPINNAKER
+#include <SpinnakerC.h>
+
+// FLIR source via the Spinnaker C API: the GenICam nodemap configuration of
+// BscanFFTspin.cpp:790-1045 (AcquisitionMode=Continuous, ExposureAuto/
+// GainAuto Off, manual ExposureTime/Gain) and the GetNextImage loop of
+// BscanFFTspin.cpp:1047-1100.  Exposure changes are deferred to between
+// frames (the expchanged pattern, BscanFFTspin.cpp:1895-1903) — which the
+// daemon's poll-then-grab loop gives us for free.
+struct SpinSource {
+  spinSystem sys = nullptr;
+  spinCameraList list = nullptr;
+  spinCamera cam = nullptr;
+  spinNodeMapHandle nodemap = nullptr;
+
+  bool node_set_enum(const char *node, const char *entry) {
+    spinNodeHandle h = nullptr, e = nullptr;
+    int64_t v = 0;
+    if (spinNodeMapGetNode(nodemap, node, &h) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    if (spinEnumerationGetEntryByName(h, entry, &e) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    if (spinEnumerationEntryGetIntValue(e, &v) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    return spinEnumerationSetIntValue(h, v) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool node_set_float(const char *node, double v) {
+    spinNodeHandle h = nullptr;
+    if (spinNodeMapGetNode(nodemap, node, &h) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    return spinFloatSetValue(h, v) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool open_dev(double exposure_us, double gain) {
+    if (spinSystemGetInstance(&sys) != SPINNAKER_ERR_SUCCESS) return false;
+    if (spinCameraListCreateEmpty(&list) != SPINNAKER_ERR_SUCCESS) return false;
+    if (spinSystemGetCameras(sys, list) != SPINNAKER_ERR_SUCCESS) return false;
+    size_t n = 0;
+    spinCameraListGetSize(list, &n);
+    if (n == 0) { fprintf(stderr, "spinnaker: no camera found\n"); return false; }
+    if (spinCameraListGet(list, 0, &cam) != SPINNAKER_ERR_SUCCESS) return false;
+    if (spinCameraInit(cam) != SPINNAKER_ERR_SUCCESS) return false;
+    if (spinCameraGetNodeMap(cam, &nodemap) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    node_set_enum("AcquisitionMode", "Continuous");   // BscanFFTspin.cpp:860
+    node_set_enum("ExposureAuto", "Off");             // :920
+    node_set_enum("GainAuto", "Off");                 // :907
+    node_set_float("ExposureTime", exposure_us < 8 ? 8 : exposure_us);
+    node_set_float("Gain", gain);
+    return spinCameraBeginAcquisition(cam) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool grab(std::vector<uint8_t> &out, size_t frame_bytes) {
+    spinImage img = nullptr;
+    if (spinCameraGetNextImageEx(cam, 1000, &img) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    bool8_t incomplete = 0;
+    spinImageIsIncomplete(img, &incomplete);
+    bool ok = false;
+    if (!incomplete) {  // incomplete frames are skipped (BscanFFTspin.cpp:1059)
+      void *data = nullptr;
+      size_t sz = 0;
+      if (spinImageGetData(img, &data) == SPINNAKER_ERR_SUCCESS &&
+          spinImageGetBufferSize(img, &sz) == SPINNAKER_ERR_SUCCESS &&
+          sz >= frame_bytes) {
+        memcpy(out.data(), data, frame_bytes);
+        ok = true;
+      }
+    }
+    spinImageRelease(img);
+    return ok;
+  }
+
+  void apply_ctrl(const double *vals) {
+    // Spinnaker clamps exposure at 8 µs (BscanFFTspinjnt '-' key handler)
+    double e = vals[CTRL_EXPOSURE_US];
+    node_set_float("ExposureTime", e < 8 ? 8 : e);
+    node_set_float("Gain", vals[CTRL_GAIN]);
+  }
+
+  void close_dev() {
+    if (cam) {
+      spinCameraEndAcquisition(cam);
+      spinCameraDeInit(cam);
+      spinCameraRelease(cam);
+    }
+    if (list) { spinCameraListClear(list); spinCameraListDestroy(list); }
+    if (sys) spinSystemReleaseInstance(sys);
+  }
+};
+#endif  // FDOCT_WITH_SPINNAKER
 
 int main(int argc, char **argv) {
   if (argc < 8) {
@@ -150,7 +349,13 @@ int main(int argc, char **argv) {
   }
   const size_t frame_bytes = (size_t)w * h * (bpp > 8 ? 2 : 1);
   std::vector<uint8_t> buf(frame_bytes, 0);
-  const useconds_t sleep_us = fps > 0 ? (useconds_t)(1e6 / fps) : 0;
+  useconds_t sleep_us = fps > 0 ? (useconds_t)(1e6 / fps) : 0;
+
+  // control state, updated from the ring header's control block each frame
+  double ctrl[8] = {0};
+  ctrl[CTRL_EXPOSURE_US] = 1000.0;  // the QHY working config's default
+  ctrl[CTRL_GAIN] = 0.0;
+  ctrl[CTRL_FPS] = fps;
 
   std::vector<std::string> pgms;
   if (mode == "--pgm") {
@@ -171,15 +376,57 @@ int main(int argc, char **argv) {
     return 1;
   }
 #endif
+#ifdef FDOCT_WITH_QHY
+  QHYSource qhy;
+  if (mode == "--qhy" &&
+      !qhy.open_dev(w, h, bpp, ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN])) {
+    fprintf(stderr, "qhy init failed\n");
+    qhy.close_dev();
+    return 1;
+  }
+#endif
+#ifdef FDOCT_WITH_SPINNAKER
+  SpinSource spin;
+  if (mode == "--spinnaker" &&
+      !spin.open_dev(ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN])) {
+    fprintf(stderr, "spinnaker init failed\n");
+    spin.close_dev();
+    return 1;
+  }
+#endif
 
   for (uint64_t t = 0; !g_stop; t++) {
+    // apply any new host control snapshot before grabbing the next frame
+    // (the deferred-apply seam, BscanFFTspin.cpp:1895-1903)
+    if (fdoct_ring_poll_ctrl(ring, ctrl)) {
+      if (ctrl[CTRL_FPS] > 0) sleep_us = (useconds_t)(1e6 / ctrl[CTRL_FPS]);
+      fprintf(stderr, "ctrl: exposure=%.0fus gain=%.0f fps=%.0f\n",
+              ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN], ctrl[CTRL_FPS]);
+#ifdef __linux__
+      if (mode == "--v4l2") cam.apply_ctrl(ctrl);
+#endif
+#ifdef FDOCT_WITH_QHY
+      if (mode == "--qhy") qhy.apply_ctrl(ctrl);
+#endif
+#ifdef FDOCT_WITH_SPINNAKER
+      if (mode == "--spinnaker") spin.apply_ctrl(ctrl);
+#endif
+    }
     if (mode == "--synthetic") {
-      synthetic_frame(buf, w, h, t);
+      synthetic_frame(buf, w, h, t, ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN]);
     } else if (mode == "--pgm") {
       if (!read_pgm(pgms[t % pgms.size()], buf, w, h)) continue;
 #ifdef __linux__
     } else if (mode == "--v4l2") {
       if (!cam.grab_y(buf)) break;
+#endif
+#ifdef FDOCT_WITH_QHY
+    } else if (mode == "--qhy") {
+      if (!qhy.grab(buf, w, h)) break;
+#endif
+#ifdef FDOCT_WITH_SPINNAKER
+    } else if (mode == "--spinnaker") {
+      if (!spin.grab(buf, frame_bytes)) break;
 #endif
     } else {
       fprintf(stderr, "unknown source %s\n", mode.c_str());
@@ -188,6 +435,12 @@ int main(int argc, char **argv) {
     fdoct_ring_push(ring, buf.data());
     if (sleep_us) usleep(sleep_us);
   }
+#ifdef FDOCT_WITH_QHY
+  if (mode == "--qhy") qhy.close_dev();
+#endif
+#ifdef FDOCT_WITH_SPINNAKER
+  if (mode == "--spinnaker") spin.close_dev();
+#endif
   fdoct_ring_close(ring);
   return 0;
 }

@@ -22,7 +22,8 @@
 namespace {
 
 constexpr uint32_t MAGIC = 0xFD0C7B1F;
-constexpr uint32_t VERSION = 1;
+constexpr uint32_t VERSION = 2;
+constexpr uint32_t NCTRL = 8;  // control slots: 0=exposure_us 1=gain 2=gamma 3=fps
 
 struct Header {
   uint32_t magic;
@@ -33,7 +34,17 @@ struct Header {
   uint32_t nslots;
   uint64_t frame_bytes;
   uint64_t head;       // frames written so far (monotonic)
-  uint8_t pad[64 - ((8 * 4 + 16) % 64)];
+  // v2: host→daemon control channel (the live SetQHYCCDParam seat,
+  // hn-88/FDOCT BscanFFT.cpp:1600-1624 — exposure/gain keys applied to the
+  // running camera).  Seqlock with the HOST as the only writer: ctrl_seq is
+  // odd while a write is in progress, even when the snapshot is stable.
+  // The daemon polls between frames, applies, and acknowledges by storing
+  // the consumed seq into ctrl_applied (the deferred-apply pattern of
+  // BscanFFTspin.cpp:1895-1903).
+  uint64_t ctrl_seq;
+  uint64_t ctrl_applied;
+  double ctrl_values[NCTRL];
+  uint8_t pad[128 - ((6 * 4 + 4 * 8 + NCTRL * 8) % 128)];
 };
 
 struct Ring {
@@ -94,7 +105,21 @@ void *fdoct_ring_open(const char *path, int create, uint32_t width,
   r->slots = reinterpret_cast<uint8_t *>(mem) + sizeof(Header);
 
   if (create) {
+    // A writer re-creating an existing, geometry-compatible ring (daemon
+    // restart) preserves the host's control snapshot: exposure/gain
+    // survive the failover and are re-applied by the fresh daemon
+    // (ctrl_applied resets to 0, so its first poll delivers them).
+    uint64_t keep_seq = 0;
+    double keep_vals[NCTRL] = {0};
+    Header *old_hdr = reinterpret_cast<Header *>(mem);
+    if (old_hdr->magic == MAGIC && old_hdr->version == VERSION &&
+        old_hdr->frame_bytes == frame_bytes && old_hdr->nslots == nslots) {
+      keep_seq = old_hdr->ctrl_seq & ~1ull;  // round down a mid-write seq
+      memcpy(keep_vals, old_hdr->ctrl_values, sizeof(keep_vals));
+    }
     memset(mem, 0, map_bytes);
+    r->hdr->ctrl_seq = keep_seq;
+    memcpy(r->hdr->ctrl_values, keep_vals, sizeof(keep_vals));
     r->hdr->width = width;
     r->hdr->height = height;
     r->hdr->bpp = bpp;
@@ -166,6 +191,53 @@ uint64_t fdoct_ring_get(void *handle, uint64_t seq, uint8_t *out) {
 
 uint64_t fdoct_ring_head(void *handle) {
   return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->head,
+                         __ATOMIC_ACQUIRE);
+}
+
+// --- control channel (host → daemon) --------------------------------------
+
+// Host: set one control parameter.  The host session loop is the single
+// control writer (the reference's key-dispatch thread is likewise the only
+// caller of SetQHYCCDParam, BscanFFT.cpp:1600).
+void fdoct_ring_set_ctrl(void *handle, uint32_t param, double value) {
+  if (param >= NCTRL) return;
+  Header *h = static_cast<Ring *>(handle)->hdr;
+  const uint64_t s = __atomic_load_n(&h->ctrl_seq, __ATOMIC_RELAXED);
+  __atomic_store_n(&h->ctrl_seq, s + 1, __ATOMIC_RELEASE);  // odd: in progress
+  h->ctrl_values[param] = value;
+  __atomic_store_n(&h->ctrl_seq, s + 2, __ATOMIC_RELEASE);  // even: stable
+}
+
+double fdoct_ring_get_ctrl(void *handle, uint32_t param) {
+  if (param >= NCTRL) return 0.0;
+  return static_cast<Ring *>(handle)->hdr->ctrl_values[param];
+}
+
+// Daemon: poll for a new stable control snapshot.  Copies all NCTRL values
+// into `out` and acknowledges the seq; returns 1 on a new snapshot, 0 when
+// nothing changed or a write is mid-flight (caller re-polls next frame).
+int fdoct_ring_poll_ctrl(void *handle, double *out) {
+  Header *h = static_cast<Ring *>(handle)->hdr;
+  const uint64_t s1 = __atomic_load_n(&h->ctrl_seq, __ATOMIC_ACQUIRE);
+  if (s1 & 1) return 0;  // writer mid-update
+  if (s1 == __atomic_load_n(&h->ctrl_applied, __ATOMIC_RELAXED)) return 0;
+  double vals[NCTRL];
+  memcpy(vals, h->ctrl_values, sizeof(vals));
+  if (__atomic_load_n(&h->ctrl_seq, __ATOMIC_ACQUIRE) != s1) return 0;  // torn
+  memcpy(out, vals, sizeof(vals));
+  __atomic_store_n(&h->ctrl_applied, s1, __ATOMIC_RELEASE);
+  return 1;
+}
+
+// Host: what the daemon last acknowledged (for "did my '+' land" tests and
+// the Status window).
+uint64_t fdoct_ring_ctrl_applied(void *handle) {
+  return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->ctrl_applied,
+                         __ATOMIC_ACQUIRE);
+}
+
+uint64_t fdoct_ring_ctrl_seq(void *handle) {
+  return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->ctrl_seq,
                          __ATOMIC_ACQUIRE);
 }
 

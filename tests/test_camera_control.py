@@ -1,0 +1,167 @@
+"""Live camera control loop tests.
+
+The reference adjusts exposure/gain on the *running* camera from the key
+loop (BscanFFT.cpp:1600-1624 SetQHYCCDParam on +/-/u/d/U/D; deferred apply
+BscanFFTspin.cpp:1895-1903).  Here the counterpart is the ring header's
+control block: Session key → CameraSource.set_param → fdoct_ring_set_ctrl →
+daemon poll → source apply.  These tests assert the loop end to end: a key
+press measurably changes subsequent frame photometry.
+"""
+
+import shutil
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+NATIVE = Path(__file__).resolve().parents[1] / "native"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build():
+    subprocess.run(["make", "-C", str(NATIVE),
+                    "libfdoct_ring.so", "capture_daemon"],
+                   check=True, capture_output=True, timeout=180)
+
+
+def _mean_of_next_frames(it, n=3, skip=2):
+    """Mean brightness over the next n frames, skipping frames possibly
+    generated before a control change landed."""
+    for _ in range(skip):
+        next(it)
+    return float(np.mean([next(it).mean() for _ in range(n)]))
+
+
+class TestCtrlChannel:
+    def test_set_get_poll_roundtrip(self, tmp_path):
+        """Host writes land in the control block; a poll consumes exactly
+        one snapshot and acknowledges it."""
+        import ctypes
+
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+
+        path = tmp_path / "ring.bin"
+        w = RingWriter(path, 16, 8, nslots=4)
+        r = RingReader(path)
+        try:
+            assert r.ctrl_acknowledged()          # nothing pending yet
+            r.set_ctrl("exposure", 2500.0)
+            r.set_ctrl("gain", 7.0)
+            assert r.get_ctrl("exposure") == 2500.0
+            assert not r.ctrl_acknowledged()
+            # daemon side: poll consumes the snapshot
+            vals = (ctypes.c_double * 8)()
+            assert w.lib.fdoct_ring_poll_ctrl(w.h, vals) == 1
+            assert vals[0] == 2500.0 and vals[1] == 7.0
+            assert r.ctrl_acknowledged()
+            # no re-delivery without a new write
+            assert w.lib.fdoct_ring_poll_ctrl(w.h, vals) == 0
+        finally:
+            w.close()
+            r.close()
+
+    def test_daemon_applies_exposure(self, tmp_path):
+        """Lowering exposure dims the synthetic camera's frames (counts
+        scale with exposure like a real sensor)."""
+        from fdoct_tpu.sources.camera import CameraSource
+
+        src = CameraSource(tmp_path / "cam.ring", daemon_args=["--synthetic"],
+                           width=64, height=16, fps=500.0)
+        try:
+            it = iter(src.frames())
+            bright = _mean_of_next_frames(it)
+            src.set_param("exposure", 250.0)      # 1/4 of the 1000 µs default
+            assert src.reader.wait_ctrl_applied(timeout_s=5.0)
+            dim = _mean_of_next_frames(it)
+            assert dim < bright * 0.5, (bright, dim)
+            # gain brings it back up
+            src.set_param("gain", 300.0)          # ×4 → back to full scale
+            assert src.reader.wait_ctrl_applied(timeout_s=5.0)
+            regained = _mean_of_next_frames(it)
+            assert regained > dim * 1.5, (dim, regained)
+        finally:
+            src.close()
+
+    def test_key_press_changes_brightness(self, tmp_path):
+        """The full loop the reference closes at BscanFFT.cpp:1600: pressing
+        exposure keys in the Session measurably changes subsequent frames."""
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.sources.camera import CameraSource
+
+        cfg = PipelineConfig(width=64, height=16, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             exposure_us=500, dtype="float64")
+        src = CameraSource(tmp_path / "cam2.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, fps=500.0)
+        try:
+            s = Session(cfg, camera=src.set_param)
+            src.set_param("exposure", cfg.exposure_us)   # cmd_live init push
+            assert src.reader.wait_ctrl_applied(5.0)
+            it = iter(src.frames())
+            before = _mean_of_next_frames(it)
+            for _ in range(5):                           # 500 → 1000 µs
+                s.key("+")
+            assert s.exposure_us == 1000
+            assert src.reader.wait_ctrl_applied(5.0)
+            after = _mean_of_next_frames(it)
+            assert after > before * 1.5, (before, after)
+            # and back down ('d' is -1000 µs, clamped at 0 for QHY)
+            s.key("d")
+            assert s.exposure_us == 0
+            assert src.reader.wait_ctrl_applied(5.0)
+            dark = _mean_of_next_frames(it)
+            assert dark < 1.0, dark                      # sensor sees nothing
+        finally:
+            src.close()
+
+    def test_ctrl_survives_daemon_restart(self, tmp_path):
+        """After the watchdog restarts a dead daemon, the session's knobs
+        are re-asserted (the reference would simply exit,
+        BscanFFT.cpp:1991-1993)."""
+        from fdoct_tpu.sources.camera import CameraSource
+
+        src = CameraSource(tmp_path / "cam3.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, fps=500.0,
+                           starve_timeout_s=2.0)
+        try:
+            it = iter(src.frames())
+            src.set_param("exposure", 250.0)
+            assert src.reader.wait_ctrl_applied(5.0)
+            dim = _mean_of_next_frames(it)
+            src.proc.kill()                       # daemon dies
+            src.proc.wait(timeout=5)
+            frame = next(it)                      # watchdog restarts it
+            assert frame is not None and src.restarts == 1
+            assert src.reader.wait_ctrl_applied(5.0)
+            still_dim = _mean_of_next_frames(it)
+            assert still_dim < dim * 2.0 + 2.0, (dim, still_dim)
+            assert src.reader.get_ctrl("exposure") == 250.0
+        finally:
+            src.close()
+
+
+class TestSdkSeams:
+    """The QHY / Spinnaker seams compile against the stub headers and fail
+    cleanly without hardware — so the integration seam cannot rot."""
+
+    @pytest.mark.parametrize("target,flag", [
+        ("capture_daemon_qhy", "--qhy"),
+        ("capture_daemon_spin", "--spinnaker"),
+    ])
+    def test_seam_compiles_and_fails_cleanly(self, tmp_path, target, flag):
+        subprocess.run(["make", "-C", str(NATIVE), target],
+                       check=True, capture_output=True, timeout=180)
+        r = subprocess.run(
+            [str(NATIVE / target), str(tmp_path / "s.ring"),
+             "64", "16", "8", "4", "100", flag],
+            capture_output=True, text=True, timeout=30)
+        assert r.returncode == 1
+        assert "init failed" in r.stderr

@@ -128,6 +128,14 @@ def main() -> None:
 
     t1, t2 = measure(G1), measure(G2)
     per_group = (t2 - t1) / (G2 - G1)
+    # sanity guard: best-of-N differenced timings must be positive and the
+    # long run must dominate the short one, else the primary-metric JSON
+    # would silently encode noise
+    if not (t2 > t1 > 0 and per_group > 0):
+        print(f"FATAL: inconsistent timings t({G1})={t1:.4f}s "
+              f"t({G2})={t2:.4f}s — refusing to report a nonsense metric",
+              file=sys.stderr)
+        raise SystemExit(1)
     ascans = BATCH * ROWS / per_group
 
     # ---- informational: tunnel-inclusive streaming number ----

@@ -187,8 +187,17 @@ def cmd_live(args) -> int:
                         port=getattr(args, "viewer_port", 8089))
         if viewer.server is not None:
             print(f"live viewer at {viewer.server.url}", file=sys.stderr)
-    it = iter(src.frames())
     import select
+
+    batch = max(getattr(args, "batch", 1), 1)
+    streamer = None
+    if batch > 1:
+        # batched fast path: overlapped producer thread + one fused device
+        # dispatch per batch (Session.process_group)
+        from fdoct_tpu.streaming import FrameStreamer
+        streamer = FrameStreamer(src.frames(), maxsize=4 * batch).start()
+    else:
+        it = iter(src.frames())
 
     n = 0
     while not s.done and (args.frames == 0 or n < args.frames):
@@ -198,14 +207,24 @@ def cmd_live(args) -> int:
         if viewer is not None:
             for ch in viewer.pop_keys():
                 s.key(ch)
-        raw = next(it)
-        r = s.process(raw)
-        n += 1
+        if streamer is not None:
+            raws = streamer.get_batch(batch)
+            if raws is None:
+                break
+            rs = s.process_group(raws)
+            n += len(raws)
+            raw, r = raws[-1], (rs[-1] if rs else None)
+        else:
+            raw = next(it)
+            r = s.process(raw)
+            n += 1
         if viewer is not None:
             viewer.show_session_frame(s, raw, r)
         if r is not None and args.verbose:
             print(f"bscan group done (n={n}), peak "
                   f"{r.bscandb.max():.1f} dB", file=sys.stderr)
+    if streamer is not None:
+        streamer.stop()
     if getattr(args, "checkpoint", None):
         from fdoct_tpu.utils.checkpoint import save_session
         save_session(s, args.checkpoint)
@@ -542,7 +561,9 @@ def cmd_configedit(args) -> int:
     line numbers; here fields are addressed by name)."""
     from fdoct_tpu.config import SCHEMAS, read_ini, write_ini
 
-    cfg = read_ini(args.inifile, args.variant)
+    # no validation here: configedit must be able to open a broken ini in
+    # order to repair it (the reference's editini.m has no validation at all)
+    cfg = read_ini(args.inifile, args.variant, validate=False)
     schema_names = {n for n, _ in SCHEMAS[args.variant]}
     for kv in args.set or []:
         key, _, val = kv.partition("=")
@@ -602,6 +623,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("live", help="streaming session")
     common(sp)
     sp.add_argument("--frames", type=int, default=0, help="0 = until 'x' key")
+    sp.add_argument("--batch", type=int, default=1,
+                    help="frames per device dispatch (>1 = batched fast "
+                         "path via Session.process_group; use a multiple "
+                         "of the averaging count)")
     sp.add_argument("--verbose", action="store_true")
     sp.add_argument("--checkpoint", metavar="PATH",
                     help="save session state (config + calibration tensors "

@@ -142,6 +142,9 @@ class PipelineConfig:
         errs = []
         bx = max(self.binvalue, self.binvaluex, 1)
         by = max(self.binvalue, self.binvaluey, 1)
+        if self.width < bx or self.height < by:
+            errs.append(f"frame {self.width}x{self.height} smaller than "
+                        f"binning {bx}x{by} (or empty)")
         if self.width % bx or self.height % by:
             errs.append(f"frame {self.width}x{self.height} not divisible by "
                         f"binning {bx}x{by}")
@@ -164,7 +167,12 @@ class PipelineConfig:
 
     @classmethod
     def from_json(cls, text: str) -> "PipelineConfig":
-        return cls(**json.loads(text))
+        data = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - known
+        if unknown:
+            raise ValueError(f"unknown config fields: {sorted(unknown)}")
+        return cls(**data).validate()
 
     # ---------------------------- ini ----------------------------------
     @classmethod
@@ -266,12 +274,16 @@ def _tokens(text: str) -> Iterable[str]:
     return iter(text.split())
 
 
-def read_ini(path: str | Path, variant: str = "base") -> PipelineConfig:
+def read_ini(path: str | Path, variant: str = "base",
+             validate: bool = True) -> PipelineConfig:
     """Parse a reference-format positional ini file.
 
     Format: three leading comment tokens, then alternating value / comment
     tokens (reference: BscanFFT.cpp:420-477 — ``infile >> tempstring`` x3,
     then ``infile >> value; infile >> tempstring;`` repeated).
+
+    ``validate=False`` skips the consistency check — used by ``fdoct
+    configedit`` so a broken ini can still be loaded and repaired.
     """
     schema = SCHEMAS[variant]
     toks = _tokens(Path(path).read_text())
@@ -289,7 +301,10 @@ def read_ini(path: str | Path, variant: str = "base") -> PipelineConfig:
             f"ini file {path} too short for variant '{variant}' "
             f"(got {len(values)}/{len(schema)} fields)"
         ) from e
-    return PipelineConfig(**values)
+    # validate at the boundary so a geometry-inconsistent ini fails here
+    # with a clear message instead of a late device-side shape error
+    cfg = PipelineConfig(**values)
+    return cfg.validate() if validate else cfg
 
 
 def write_ini(cfg: PipelineConfig, path: str | Path, variant: str = "base") -> None:

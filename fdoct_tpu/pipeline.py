@@ -102,39 +102,59 @@ def ascan_mags_fused(yr: jnp.ndarray, calib: Calibration,
 
     ``precision``: 'default' uses the TPU's fast matmul passes (~1e-3
     relative vs the FFT path — ~0.01 dB, display-invisible); 'highest'
-    forces f32-exact accumulation at ~2x matmul cost.
+    forces f32-exact accumulation at ~2x matmul cost; 'bf16' forces the
+    explicit-bf16-operand branch on any backend (what 'default' resolves
+    to on TPU) so the production numeric path is testable on CPU.
 
     In the f32/'default' production configuration the operands are cast to
     bfloat16 explicitly (f32 accumulation via preferred_element_type).
     TPU DEFAULT matmul precision already rounds f32 operands to bf16 per
-    pass, so this is numerically identical — but it halves the matmul's
-    HBM read traffic: measured 38.1 -> 43.9 M A-scans/s on v5e
+    pass, so this matches what DEFAULT computes on-chip — but it halves the
+    matmul's HBM read traffic: measured 38.1 -> 43.9 M A-scans/s on v5e
     (scripts/bench_resident.py, honest differenced timing).
+
+    Measured accuracy vs the f64 reference path (pinned by
+    tests/test_precision.py::test_bf16_branch_display_equivalent): bf16
+    operand rounding moves B-scan pixels within 30 dB of the peak by
+    < 0.1 dB (display-invisible); only the noise floor ≥ 30 dB down moves
+    ~1-2 dB, which any practical display threshold clamps.  Metrology uses
+    should set 'highest'.
     """
-    if (precision != "highest" and yr.dtype == jnp.float32
-            and jax.default_backend() == "tpu"):
+    re, im = _op_matmul_pair(yr, calib, precision)
+    return jnp.sqrt(re * re + im * im)
+
+
+def _op_matmul_pair(yr: jnp.ndarray, calib: Calibration,
+                    precision: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The (re, im) operator matmuls with one precision policy for every
+    consumer, so |ascan_complex(yr)| always matches ascan_mags_fused(yr)."""
+    use_bf16 = precision == "bf16" or (
+        precision != "highest" and yr.dtype == jnp.float32
+        and jax.default_backend() == "tpu")
+    if use_bf16 and yr.dtype == jnp.float32:
         z = yr.astype(jnp.bfloat16)
         re = jnp.matmul(z, calib.op_re.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         im = jnp.matmul(z, calib.op_im.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-        return jnp.sqrt(re * re + im * im)
+        return re, im
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     re = jnp.matmul(yr, calib.op_re, preferred_element_type=yr.dtype,
                     precision=prec)
     im = jnp.matmul(yr, calib.op_im, preferred_element_type=yr.dtype,
                     precision=prec)
-    return jnp.sqrt(re * re + im * im)
+    return re, im
 
 
-def ascan_complex(yr: jnp.ndarray, calib: Calibration) -> jnp.ndarray:
+def ascan_complex(yr: jnp.ndarray, calib: Calibration,
+                  precision: str = "default") -> jnp.ndarray:
     """Complex A-scans (phase-resolved OCT / Doppler use): the fused
     operator's (re, im) pair before the magnitude.  No reference equivalent
     (the reference discards phase at BscanFFT.cpp:1190); exposed because
-    the fused path computes it for free."""
-    re = jnp.matmul(yr, calib.op_re, preferred_element_type=yr.dtype)
-    im = jnp.matmul(yr, calib.op_im, preferred_element_type=yr.dtype)
+    the fused path computes it for free.  Shares ``_op_matmul_pair`` with
+    ascan_mags_fused so the two paths agree bit-for-bit at any precision."""
+    re, im = _op_matmul_pair(yr, calib, precision)
     return jax.lax.complex(re, im)
 
 

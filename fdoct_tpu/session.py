@@ -16,9 +16,11 @@ frame performs exactly one reference loop iteration.  Keys arrive through
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from fdoct_tpu.calibration import Calibration
@@ -359,6 +361,68 @@ class Session:
         return self._finish_group()
 
     # ------------------------------------------------------------------
+    # batched fast path (VERDICT round-1 item 5): the full-featured session
+    # rides the same fused one-dispatch-per-batch pipeline as bench.py
+    # ------------------------------------------------------------------
+
+    def process_group(self, frames: np.ndarray) -> list[BscanResult]:
+        """Process a batch of raw frames — ``len(frames)`` reference
+        hot-loop iterations — in ONE device dispatch when the session is in
+        its steady state, falling back to per-frame :meth:`process`
+        whenever stateful semantics demand it (pending captures, triggered
+        batch capture, J-lockin subtraction, per-frame ring-buffer saves,
+        manual averaging, strict-sim copyTo, mid-group entry).
+
+        Returns the completed B-scan results (one per ``averagestoggle``
+        frames on the fast path).  Equivalent to calling :meth:`process`
+        frame by frame; tests/test_session_group.py pins the parity.
+        """
+        cfg = self.cfg
+        n = len(frames)
+        avg = self.averagestoggle
+        fast_ok = (
+            self.indextemp == 0
+            and not self._pending
+            and getattr(self, "_trig", None) is None
+            and not self.jlockin
+            and not (self.variant == "sim" and cfg.simcopyto)
+            and not cfg.saveinterferograms
+            and not cfg.saveframes
+            and not cfg.manualaveraging
+            and cfg.bscanbinx <= 1 and cfg.bscanbiny <= 1
+            and avg >= 1 and n % avg == 0
+        )
+        if not fast_ok:
+            results = []
+            for f in frames:
+                r = self.process(f)
+                if r is not None:
+                    results.append(r)
+            return results
+
+        groups = n // avg
+        strict_eps = 1e-5
+        outs = _session_group_pipeline(
+            jnp.asarray(frames), self.data_yb, self.data_yp, self.data_yd,
+            jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
+            self.calib, cfg, groups, avg, self.method,
+            self.variant == "dark", strict_eps)
+        bscan_np = np.asarray(outs.bscan)
+        db_np = np.asarray(outs.bscandb)
+        disp_np = np.asarray(outs.bscandisp)
+        results = []
+        for i in range(groups):
+            result = BscanResult(bscan=bscan_np[i], bscandb=db_np[i],
+                                 bscandisp=disp_np[i], index=self.indexi)
+            for plugin in self.plugins:
+                plugin.on_bscan(self, result)
+            # ring-buffer toggle per completed group (BscanFFT.cpp:1487);
+            # the rings stay empty here (save flags force the slow path)
+            self.zeroisactive = not self.zeroisactive
+            results.append(result)
+        return results
+
+    # ------------------------------------------------------------------
     def _capture_background(self, y: jnp.ndarray) -> None:
         """'b' background accumulation (BscanFFT.cpp:1000-1075).
 
@@ -588,3 +652,30 @@ class Session:
         if self.sink is not None:
             self.sink.parameter_footer(self.cfg, self.bscanthreshold)
             self.sink.close()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "groups", "averages", "method", "dark", "eps"))
+def _session_group_pipeline(raw, yb, yp, yd, threshold, calib, cfg,
+                            groups, averages, method, dark, eps):
+    """One dispatch for ``groups`` whole averaging groups: preprocess →
+    [dark subtract] → apodize ratio → fused A-scan magnitudes → per-group
+    accumulate → vmapped display chain.  The batched form of the reference
+    hot loop (BscanFFT.cpp:946-1255) the interactive Session rides in its
+    steady state."""
+    from fdoct_tpu.pipeline import (apodize_ratio, ascan_mags, form_bscan,
+                                    preprocess)
+
+    if raw.ndim == 4:
+        # webcam variant: color frames → channel select / sum
+        from fdoct_tpu.ops.filters import channel_select
+        raw = jax.vmap(lambda f: channel_select(f, cfg.channelnum))(raw)
+    y = preprocess(raw, cfg)
+    if dark:
+        y = y - yd                      # BscanDark.cpp:1269
+    yr = apodize_ratio(y, yb, yp, cfg)
+    mags = ascan_mags(yr, calib, method, cfg.matmul_precision)
+    msum = mags.reshape((groups, averages) + mags.shape[1:]).sum(axis=1)
+    return jax.vmap(
+        lambda m: form_bscan(m, cfg, averages, bscanthreshold=threshold,
+                             eps=eps))(msum)

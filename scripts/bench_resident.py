@@ -93,6 +93,22 @@ def main() -> None:
         return reconstruct(fr, bg, pi, calib, cfg, method="fused").sum(axis=0)
     ref = timeit("xla_fused_f32", xla_group)
 
+    # elementwise oracle on ONE group: catches row/tile permutations and
+    # cancelling errors that a scalar-sum check would miss
+    one_group = frames[G1][0]
+    ref_group = np.asarray(jax.jit(xla_group)(one_group))
+
+    def check_elementwise(name, group_fn, rtol=5e-2):
+        try:
+            out = np.asarray(jax.jit(group_fn)(one_group))
+            err = np.abs(out - ref_group).max() / (np.abs(ref_group).max() + 1e-9)
+            ok = "ok" if err < rtol else "MISMATCH"
+            print(f"[{name}] elementwise max rel err vs xla_fused: "
+                  f"{err:.3e} ({ok})", flush=True)
+        except Exception as e:
+            print(f"[{name}] elementwise check FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]}", flush=True)
+
     def check(name, val):
         if val is not None and ref is not None:
             err = abs(val - ref) / (abs(ref) + 1e-9)
@@ -109,18 +125,21 @@ def main() -> None:
         im = jnp.dot(z, op_im16, preferred_element_type=jnp.float32)
         mag = jnp.sqrt(re * re + im * im)
         return mag.reshape(BATCH, ROWS, NDISP).sum(axis=0)
+    check_elementwise("xla_bf16", xla_bf16_group)
     check("xla_bf16", timeit("xla_bf16", xla_bf16_group))
 
     def yr_group(fr):
         y = fr.astype(jnp.float32)
         yr = (y - pi) * invb
         return fused_recon_accumulate(yr, op_re, op_im)
+    check_elementwise("pallas_yr", yr_group)
     check("pallas_yr", timeit("pallas_yr", yr_group))
 
     for tr, td in ((128, 512), (256, 512), (256, 256)):
         def raw_group(fr, tr=tr, td=td):
             return fused_recon_raw_accumulate(
                 fr, pi, invb, op_re, op_im, tile_rows=tr, tile_depth=td)
+        check_elementwise(f"pallas_raw_{tr}x{td}", raw_group)
         check(f"pallas_raw_{tr}x{td}",
               timeit(f"pallas_raw_{tr}x{td}", raw_group))
 
@@ -128,6 +147,7 @@ def main() -> None:
         def res_group(fr, tr=tr):
             return fused_recon_resident(fr, pi, invb, op_re, op_im,
                                         tile_rows=tr)
+        check_elementwise(f"resident_bf16_{tr}", res_group)
         check(f"resident_bf16_{tr}",
               timeit(f"resident_bf16_{tr}", res_group))
 

@@ -60,3 +60,59 @@ class TestMatmulPrecisionKnob:
         a = _display(cfg, frames, bg, "float32", "fused")
         b = _display(cfg, frames, bg, "float32", "fused_exact")
         assert np.abs(a - b).max() <= 1
+
+    def test_bf16_branch_display_equivalent(self, data):
+        """matmul_precision='bf16' forces the production TPU branch
+        (explicit bf16 operands, f32 accumulation) on any backend — here on
+        CPU.  This is the coverage for what 'default' resolves to on a real
+        chip (pipeline.ascan_mags_fused).
+
+        Measured characterization (this test pins it): bf16 operand
+        rounding perturbs only the NOISE FLOOR — the matmul's absolute
+        error scales with the peak magnitude, so signal pixels (within
+        30 dB of the B-scan peak) move < 0.1 dB (measured 0.023) while
+        pixels ≥ 30 dB down can move ~1-2 dB.  Any practical display
+        threshold (every reference ini sets one) clamps that region."""
+        import jax.numpy as jnp
+
+        from fdoct_tpu.pipeline import form_bscan
+
+        cfg, frames, bg = data
+
+        def bscan_db(cfgx, dtype, method):
+            calib = Calibration.create(cfgx.replace(dtype=dtype), dtype=dtype)
+            mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg, dtype),
+                               jnp.asarray(np.zeros_like(bg), dtype), calib,
+                               cfgx.replace(dtype=dtype), method=method)
+            return np.asarray(form_bscan(mags.sum(0), cfgx, 4).bscandb)
+
+        ref_db = bscan_db(cfg, "float64", "gather")
+        b16_db = bscan_db(cfg.replace(matmul_precision="bf16"),
+                          "float32", "fused")
+        d = np.abs(ref_db - b16_db)
+        signal = ref_db > ref_db.max() - 30.0
+        assert signal.sum() > 100          # the scene has real signal
+        assert d[signal].max() < 0.1, d[signal].max()   # display-invisible
+        assert d.max() < 4.0, d.max()      # noise floor bounded
+
+    def test_bf16_complex_matches_magnitude(self, data):
+        """|ascan_complex| must equal ascan_mags_fused at every precision —
+        the two share _op_matmul_pair (phase-resolved consumers cross-check
+        magnitudes against the complex path)."""
+        import jax.numpy as jnp
+
+        from fdoct_tpu.pipeline import (apodize_ratio, ascan_complex,
+                                        ascan_mags_fused, preprocess)
+
+        cfg, frames, bg = data
+        cfg32 = cfg.replace(dtype="float32")
+        calib = Calibration.create(cfg32, dtype="float32")
+        y = preprocess(jnp.asarray(frames[0]), cfg32)
+        yr = apodize_ratio(y, jnp.asarray(bg, jnp.float32),
+                           jnp.zeros_like(y), cfg32)
+        for prec in ("default", "bf16", "highest"):
+            mags = np.asarray(ascan_mags_fused(yr, calib, prec))
+            cplx = np.asarray(jnp.abs(ascan_complex(yr, calib, prec)))
+            # same matmuls by construction; |z| may use hypot vs sqrt
+            np.testing.assert_allclose(mags, cplx, rtol=1e-5,
+                                       atol=1e-6 * mags.max())

@@ -207,6 +207,8 @@ def cmd_live(args) -> int:
         if viewer is not None:
             for ch in viewer.pop_keys():
                 s.key(ch)
+            for roi in viewer.pop_rois():
+                s.set_roi(roi["x"], roi["y"], roi["w"], roi["h"])
         if streamer is not None:
             raws = streamer.get_batch(batch)
             if raws is None:

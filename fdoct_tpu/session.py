@@ -125,11 +125,23 @@ class Session:
                        1: {"bscan": [], "raw": [], "binned": []}}
         self.plugins: list[Any] = []
         self.status: list[str] = []
+        # 5-second fps + frame max-intensity meter (the reference's Status
+        # rows, BscanFFT.cpp:1100-1119)
+        from fdoct_tpu.utils.profiling import FpsMeter
+        self.fpsmeter = FpsMeter(window_s=5.0)
+        self.fps = 0.0
+        self.max_intensity = 0
         if variant == "peak":
             # the vibrometry key set is integral to the peak variant
             from fdoct_tpu.plugins.vibrometry import VibrometryPlugin
             self.plugins.append(
                 VibrometryPlugin(cfg.lambda0, cfg.peakholdnumframes))
+        else:
+            # the ROI analytics live in the flagship app itself
+            # (printAvgROI/printMinMaxAscan, BscanFFT.cpp:99-171), toggled
+            # by the 'e' key; attach them to every non-peak session
+            from fdoct_tpu.plugins.roi import ROIPlugin
+            self.plugins.append(ROIPlugin())
 
     # ------------------------------------------------------------------
     # key dispatch (reference: BscanFFT.cpp:1584-1917, keyboardshortcuts.txt)
@@ -255,6 +267,28 @@ class Session:
         if len(self.status) > 100:
             del self.status[:50]
 
+    def set_roi(self, x: int, y: int, w: int, h: int) -> None:
+        """Apply a drag-selected rectangle (B-scan pixel coordinates:
+        x = lateral A-scan position, y = depth row).
+
+        The reference selects its vibrometry ROI with the mouse
+        (BscanFFTpeak.cpp:112-181 onMouse); for the peak variant this
+        routes to VibrometryPlugin.set_roi, otherwise it positions the
+        ROI-analytics window (ascanat/vertposROI/widthROI — the quantities
+        the (/9/0/)/w/W/h/H keys step, BscanFFT.cpp:1584+)."""
+        x, y = max(0, int(x)), max(0, int(y))
+        w, h = max(1, int(w)), max(1, int(h))
+        for plugin in self.plugins:
+            if hasattr(plugin, "set_roi"):
+                plugin.set_roi(x, y, w, h)
+                self._say(f"ROI = ({x}, {y}) {w}x{h}")
+                return
+        self.ascanat = min(x, self.cfg.oph - 2)
+        self.widthROI = max(2, min(w, self.cfg.oph - 1 - self.ascanat))
+        self.vertposROI = min(y, self.calib.ndisp - 1)
+        self._say(f"ROI at ascan {self.ascanat}, depth {self.vertposROI}, "
+                  f"width {self.widthROI}")
+
     # ------------------------------------------------------------------
     # spinj triggered batch capture + offline hand-off
     # ------------------------------------------------------------------
@@ -314,8 +348,19 @@ class Session:
     # per-frame processing (one reference hot-loop iteration)
     # ------------------------------------------------------------------
 
+    def _tick_fps(self, raw, n: int = 1) -> None:
+        """fps + frame max-intensity Status rows, updated once per 5 s
+        window (BscanFFT.cpp:1100-1119)."""
+        reading = self.fpsmeter.tick(n)
+        if reading is not None:
+            self.fps = reading
+            self.max_intensity = int(np.asarray(raw).max())
+            self._say(f"fps = {reading:.0f}  Max Intensity = "
+                      f"{self.max_intensity}")
+
     def process(self, raw: np.ndarray) -> BscanResult | None:
         cfg = self.cfg
+        self._tick_fps(raw)
         raw = jnp.asarray(raw)
         if raw.ndim == 3:
             # webcam variant: color frame → channel select / sum
@@ -400,6 +445,7 @@ class Session:
                     results.append(r)
             return results
 
+        self._tick_fps(frames[-1], n=n)
         groups = n // avg
         strict_eps = 1e-5
         outs = _session_group_pipeline(

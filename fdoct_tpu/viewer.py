@@ -111,6 +111,10 @@ class Viewer:
         """Remote key presses (http mode); empty elsewhere."""
         return self.server.pop_keys() if self.server is not None else ""
 
+    def pop_rois(self) -> list[dict]:
+        """Remote drag-rect ROI selections (http mode); empty elsewhere."""
+        return self.server.pop_rois() if self.server is not None else []
+
     def close(self) -> None:
         if self.server is not None:
             self.server.close()

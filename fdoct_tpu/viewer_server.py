@@ -15,6 +15,12 @@ the display, and key presses flow back over the same socket:
 - ``POST /key``             — body characters are queued; the session
                               loop drains them with :meth:`pop_keys`,
                               exactly where the reference polls waitKey.
+- ``POST /roi``             — JSON ``{"x":…,"y":…,"w":…,"h":…}`` rectangle
+                              in window pixel coordinates, queued for
+                              :meth:`pop_rois`; the dashboard sends one per
+                              mouse drag on the B-scan — the reference's
+                              onMouse ROI selection
+                              (BscanFFTpeak.cpp:112-181) over the socket.
 - ``GET /status.json``      — window list + frame counters.
 
 Pure stdlib (http.server, threading) + PIL for PNG encoding; no external
@@ -41,18 +47,67 @@ _INDEX_HTML = """<!doctype html>
  #help { color:#777; }
 </style></head><body>
 <div id="help">keys are sent to the session (s=save, b=background,
-p=pi/J0 frame, +/- exposure, ]/[ threshold, x=quit ...)</div>
+p=pi/J0 frame, +/- exposure, ]/[ threshold, x=quit ...); drag on a
+window to select an ROI</div>
 <div id="windows"></div>
 <script>
 fetch('/status.json').then(r => r.json()).then(st => {
   const box = document.getElementById('windows');
   for (const name of st.windows) {
     const d = document.createElement('div'); d.className = 'w';
-    d.innerHTML = '<div>' + name + '</div>' +
-      '<img src="/stream/' + name + '">';
+    d.style.position = 'relative';
+    const img = document.createElement('img');
+    img.src = '/stream/' + name;
+    img.draggable = false;
+    const label = document.createElement('div');
+    label.textContent = name;
+    d.appendChild(label); d.appendChild(img);
     box.appendChild(d);
+    attachRoi(img, name);
   }
 });
+// drag-rect ROI selection (the reference's onMouse drag,
+// BscanFFTpeak.cpp:112-181): rectangle is reported in IMAGE pixels
+function attachRoi(img, name) {
+  let start = null, box = null;
+  const toImg = ev => {
+    const r = img.getBoundingClientRect();
+    const sx = (img.naturalWidth || r.width) / r.width;
+    const sy = (img.naturalHeight || r.height) / r.height;
+    return [Math.round((ev.clientX - r.left) * sx),
+            Math.round((ev.clientY - r.top) * sy)];
+  };
+  img.addEventListener('mousedown', ev => {
+    start = toImg(ev);
+    box = document.createElement('div');
+    box.style.cssText = 'position:absolute;border:1px solid #fc0;' +
+                        'pointer-events:none;';
+    img.parentElement.appendChild(box);
+    ev.preventDefault();
+  });
+  img.addEventListener('mousemove', ev => {
+    if (!start || !box) return;
+    const r = img.getBoundingClientRect(), p = img.parentElement.getBoundingClientRect();
+    const [x, y] = toImg(ev);
+    const sx = r.width / (img.naturalWidth || r.width);
+    const sy = r.height / (img.naturalHeight || r.height);
+    box.style.left = (r.left - p.left + Math.min(start[0], x) * sx) + 'px';
+    box.style.top = (r.top - p.top + Math.min(start[1], y) * sy) + 'px';
+    box.style.width = Math.abs(x - start[0]) * sx + 'px';
+    box.style.height = Math.abs(y - start[1]) * sy + 'px';
+  });
+  img.addEventListener('mouseup', ev => {
+    if (!start) return;
+    const [x, y] = toImg(ev);
+    const roi = {window: name,
+                 x: Math.min(start[0], x), y: Math.min(start[1], y),
+                 w: Math.abs(x - start[0]), h: Math.abs(y - start[1])};
+    if (roi.w > 0 && roi.h > 0)
+      fetch('/roi', {method: 'POST', body: JSON.stringify(roi)});
+    start = null;
+    if (box) { box.remove(); box = null; }
+  });
+}
 document.addEventListener('keydown', ev => {
   if (ev.key.length === 1)
     fetch('/key', {method: 'POST', body: ev.key});
@@ -90,6 +145,7 @@ class ViewerServer:
         self._seq: dict[str, int] = {}
         self._cond = threading.Condition()
         self._keys: list[str] = []
+        self._rois: list[dict] = []
         self._klock = threading.Lock()
 
         server = self
@@ -163,6 +219,18 @@ class ViewerServer:
                     with server._klock:
                         server._keys.extend(body)
                     self._send(200, "text/plain", b"ok\n")
+                elif self.path == "/roi":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        roi = json.loads(self.rfile.read(n))
+                        rect = {k: int(roi[k]) for k in ("x", "y", "w", "h")}
+                        rect["window"] = str(roi.get("window", "bscan"))
+                    except (ValueError, KeyError, TypeError):
+                        self._send(400, "text/plain", b"bad roi\n")
+                        return
+                    with server._klock:
+                        server._rois.append(rect)
+                    self._send(200, "text/plain", b"ok\n")
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
@@ -203,6 +271,13 @@ class ViewerServer:
         with self._klock:
             keys, self._keys = self._keys, []
         return "".join(keys)
+
+    def pop_rois(self) -> list[dict]:
+        """Drain queued drag-rectangle ROI selections (the onMouse
+        replacement, BscanFFTpeak.cpp:112-181)."""
+        with self._klock:
+            rois, self._rois = self._rois, []
+        return rois
 
     def close(self) -> None:
         self._closed = True

@@ -144,3 +144,115 @@ class TestViewerServer:
             assert "show" in st["windows"] and "bscan" in st["windows"]
         finally:
             v.close()
+
+
+class TestRoiOverHttp:
+    """POST /roi → pop_rois → Session.set_roi: the reference's mouse ROI
+    selection (BscanFFTpeak.cpp:112-181 onMouse) over the socket."""
+
+    def _post_roi(self, port, payload: bytes):
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/roi", data=payload, method="POST")
+        return urllib.request.urlopen(req, timeout=5)
+
+    def test_roi_round_trip(self):
+        import json as _json
+
+        from fdoct_tpu.viewer_server import ViewerServer
+        srv = ViewerServer(port=0)
+        try:
+            self._post_roi(srv.port, _json.dumps(
+                {"window": "bscan", "x": 5, "y": 7, "w": 12, "h": 4}).encode())
+            rois = []
+            for _ in range(100):
+                rois = srv.pop_rois()
+                if rois:
+                    break
+            assert rois == [{"x": 5, "y": 7, "w": 12, "h": 4,
+                             "window": "bscan"}]
+            assert srv.pop_rois() == []
+        finally:
+            srv.close()
+
+    def test_bad_roi_rejected(self):
+        import urllib.error
+
+        from fdoct_tpu.viewer_server import ViewerServer
+        srv = ViewerServer(port=0)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._post_roi(srv.port, b"not json")
+            assert e.value.code == 400
+        finally:
+            srv.close()
+
+    def test_set_roi_reaches_vibrometry_plugin(self):
+        """A browser drag changes the vibrometry ROI via the endpoint
+        (VERDICT r1 item 7 'done' criterion)."""
+        import json as _json
+
+        cfg = PipelineConfig(width=64, height=8, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        s = Session(cfg, variant="peak")
+        v = Viewer(mode="http", port=0)
+        try:
+            self._post_roi(v.server.port, _json.dumps(
+                {"x": 3, "y": 6, "w": 9, "h": 5}).encode())
+            rois = []
+            for _ in range(100):
+                rois = v.pop_rois()
+                if rois:
+                    break
+            for roi in rois:
+                s.set_roi(roi["x"], roi["y"], roi["w"], roi["h"])
+            vib = s.plugins[0]
+            assert vib.roi == dict(x=3, y=6, w=9, h=5)
+        finally:
+            v.close()
+
+    def test_set_roi_positions_base_analytics(self):
+        cfg = PipelineConfig(width=64, height=32, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        s = Session(cfg)    # base variant: ROIPlugin attached, no set_roi
+        s.set_roi(10, 15, 6, 3)
+        assert (s.ascanat, s.vertposROI, s.widthROI) == (10, 15, 6)
+
+
+class TestStatusRows:
+    def test_fps_and_max_intensity_rows(self, monkeypatch):
+        """The 5-second fps + max-intensity Status rows
+        (BscanFFT.cpp:1100-1119) appear in session.status."""
+        cfg = PipelineConfig(width=64, height=8, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = SyntheticSource(height=8, width=64, depths_um=(20.0,))
+        s = Session(cfg)
+        s.fpsmeter.window_s = 0.0       # complete the window immediately
+        raw = next(iter(src.frames()))
+        s.process(raw)
+        assert any("fps =" in line and "Max Intensity" in line
+                   for line in s.status)
+        assert s.max_intensity == int(raw.max())
+
+    def test_roi_plugin_attached_and_strip_chart_reachable(self):
+        """'e' + completed groups drive the strip chart on a base session
+        (VERDICT r1 item 6: the dormant L6 feature, BscanFFT.cpp:99-144)."""
+        cfg = PipelineConfig(width=64, height=32, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = SyntheticSource(height=32, width=64, depths_um=(20.0,))
+        s = Session(cfg)
+        from fdoct_tpu.plugins.roi import ROIPlugin
+        roi = [p for p in s.plugins if isinstance(p, ROIPlugin)]
+        assert len(roi) == 1
+        s.key("e")                       # ROIreport toggle
+        it = iter(src.frames())
+        for _ in range(2):
+            s.process(next(it))
+        assert roi[0].col == 2           # chart advanced one column/group
+        assert roi[0].plot.any()
+        assert any("Mean of ROI" in line for line in s.status)

@@ -39,6 +39,25 @@ def _mask_dc_rows_local(bscan_db: jnp.ndarray) -> jnp.ndarray:
     return out.at[1, :].set(bscan_db[4, :])
 
 
+def _bscan_step_fn(fr, yb, yp, *, calib: Calibration, cfg: PipelineConfig,
+                   method: str, batch: int):
+    """Per-shard body of :func:`sharded_bscan_step` (module-level so the
+    scaling harness can lower/compile it standalone to measure collective
+    traffic from the emitted HLO)."""
+    y = preprocess(fr, cfg)
+    yr = apodize_ratio(y, yb, yp, cfg)
+    mags = ascan_mags(yr, calib, method)          # (b_loc, h_loc, ndisp)
+    group = lax.psum(jnp.sum(mags, axis=0), "data")
+    bscan = group.T / batch + 1e-5                # (ndisp, h_loc)
+    db = to_db(bscan, eps=0.0, compat=cfg.compat)
+    db = _mask_dc_rows_local(db)
+    disp = threshold_floor(db, cfg.bscanthreshold)
+    gmin = lax.pmin(jnp.min(disp), "ascan")
+    gmax = lax.pmax(jnp.max(disp), "ascan")
+    rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
+    return db, (disp - gmin) / rng
+
+
 def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
                        pi_frame: jnp.ndarray, calib: Calibration,
                        cfg: PipelineConfig, mesh: Mesh,
@@ -54,24 +73,12 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
     Returns (bscan_db, bscan_disp01) with layout P(None, 'ascan'),
     jit-compiled over the mesh.
     """
-    B = frames.shape[0]
-
-    def step(fr, yb, yp):
-        y = preprocess(fr, cfg)
-        yr = apodize_ratio(y, yb, yp, cfg)
-        mags = ascan_mags(yr, calib, method)          # (b_loc, h_loc, ndisp)
-        group = lax.psum(jnp.sum(mags, axis=0), "data")
-        bscan = group.T / B + 1e-5                    # (ndisp, h_loc)
-        db = to_db(bscan, eps=0.0, compat=cfg.compat)
-        db = _mask_dc_rows_local(db)
-        disp = threshold_floor(db, cfg.bscanthreshold)
-        gmin = lax.pmin(jnp.min(disp), "ascan")
-        gmax = lax.pmax(jnp.max(disp), "ascan")
-        rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
-        return db, (disp - gmin) / rng
+    from functools import partial as _partial
 
     fn = shard_map(
-        step, mesh=mesh,
+        _partial(_bscan_step_fn, calib=calib, cfg=cfg, method=method,
+                 batch=frames.shape[0]),
+        mesh=mesh,
         in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
         out_specs=(P(None, "ascan"), P(None, "ascan")),
     )

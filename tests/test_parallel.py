@@ -93,3 +93,65 @@ def test_cscan_output_sharding(cfg, setup):
     # volume stays sharded over frames ('data')
     spec = vol.sharding.spec
     assert spec[0] == "data"
+
+
+class TestScalingHarness:
+    """scripts/bench_scaling.py internals: the HLO collective-traffic
+    parser and the module-level step fn it lowers."""
+
+    def test_collective_bytes_parser(self):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from bench_scaling import collective_bytes
+
+        hlo = """
+  %ar = f32[256,512]{1,0} all-reduce(f32[256,512]{1,0} %x), replica_groups={}
+  %s = f32[] all-reduce(f32[] %y), to_apply=%min
+  %ag = f32[8,256,512]{2,1,0} all-gather(f32[8,128,512]{2,1,0} %z), dimensions={1}
+  %other = f32[4]{0} add(f32[4]{0} %a, f32[4]{0} %b)
+"""
+        got = collective_bytes(hlo)
+        assert got["all-reduce"] == 256 * 512 * 4 + 4
+        assert got["all-gather"] == 8 * 256 * 512 * 4
+
+    def test_measured_psum_traffic_matches_design(self, small_cfg):
+        """The compiled sharded B-scan step moves exactly one
+        (H_loc x ndisp) psum + 2 scalars over the mesh (BENCH.md claim)."""
+        import functools
+        import sys
+        from pathlib import Path
+
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from bench_scaling import collective_bytes
+
+        from fdoct_tpu.calibration import Calibration
+        from fdoct_tpu.parallel import make_mesh, shard_frames
+        from fdoct_tpu.parallel.sharded import _bscan_step_fn
+
+        cfg = small_cfg
+        calib = Calibration.create(cfg)
+        mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+        rng = np.random.default_rng(0)
+        frames = shard_frames(jnp.asarray(
+            rng.integers(0, 255, (4, cfg.height, cfg.width)).astype(np.uint8)),
+            mesh)
+        bg = jnp.full((cfg.oph, cfg.opw), 128.0, cfg.dtype)
+        pi = jnp.zeros_like(bg)
+        fn = jax.jit(shard_map(
+            functools.partial(_bscan_step_fn, calib=calib, cfg=cfg,
+                              method="fused", batch=4),
+            mesh=mesh,
+            in_specs=(P("data", "ascan", None), P("ascan", None),
+                      P("ascan", None)),
+            out_specs=(P(None, "ascan"), P(None, "ascan"))))
+        hlo = fn.lower(frames, bg, pi).compile().as_text()
+        got = collective_bytes(hlo)
+        h_loc = cfg.oph // 2
+        itemsize = jnp.dtype(cfg.dtype).itemsize
+        expect = h_loc * calib.ndisp * itemsize + 2 * itemsize
+        assert got.get("all-reduce", 0) == expect, (got, expect)

@@ -553,6 +553,41 @@ def cmd_selftest(args) -> int:
     else:
         print("[--] single device; sharded parity skipped")
 
+    # native acquisition seam: ring + daemon + control loop (skipped when
+    # no C++ toolchain / prebuilt binaries are available)
+    import shutil as _shutil
+    import tempfile
+
+    from fdoct_tpu.sources.camera import _NATIVE_DIR
+    have_native = ((_NATIVE_DIR / "capture_daemon").exists()
+                   or _shutil.which("g++") is not None)
+    if have_native:
+        try:
+            from fdoct_tpu.sources.camera import CameraSource
+            with tempfile.TemporaryDirectory() as td:
+                cam = CameraSource(Path(td) / "selftest.ring",
+                                   daemon_args=["--synthetic"],
+                                   width=64, height=16, fps=500.0)
+                try:
+                    it = iter(cam.frames())
+                    bright = float(next(it).mean())
+                    cam.set_param("exposure", 250.0)
+                    acked = cam.reader.wait_ctrl_applied(5.0)
+                    for _ in range(3):
+                        dim_frame = next(it)
+                    dim = float(dim_frame.mean())
+                    ring_ok = acked and dim < bright * 0.5
+                    print(f"[{'ok' if ring_ok else 'FAIL'}] camera ring + "
+                          f"control loop (mean {bright:.1f} -> {dim:.1f})")
+                    ok &= ring_ok
+                finally:
+                    cam.close()
+        except Exception as e:
+            print(f"[FAIL] camera ring: {type(e).__name__}: {e}")
+            ok = False
+    else:
+        print("[--] no native toolchain; camera ring check skipped")
+
     print("selftest", "PASSED" if ok else "FAILED")
     return 0 if ok else 1
 

@@ -14,7 +14,9 @@ import numpy as np
 def ascan_min_max(bscandb: np.ndarray, ascanat: int, ndisp: int) -> tuple[float, float]:
     """Min/max of A-scan column ``ascanat`` with rows 0-3 masked by row 4
     (reference: printMinMaxAscan)."""
-    col = bscandb[:, ascanat].copy()
+    # results from the batched fast path may still live on device; pull
+    # just the needed column to host
+    col = np.asarray(bscandb[:, ascanat]).copy()
     col[0:4] = col[4]
     col = col[:ndisp]
     return float(col.min()), float(col.max())
@@ -26,7 +28,8 @@ def roi_mean_db(bscandb: np.ndarray, ascanat: int, vertpos: int,
     ROI falls off the image (reference guards ascanat+width < cols)."""
     if ascanat + width >= bscandb.shape[1]:
         return None
-    return float(bscandb[vertpos: vertpos + height, ascanat: ascanat + width].mean())
+    return float(np.asarray(
+        bscandb[vertpos: vertpos + height, ascanat: ascanat + width]).mean())
 
 
 class ROIPlugin:

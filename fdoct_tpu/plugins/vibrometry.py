@@ -170,7 +170,7 @@ class VibrometryPlugin:
             self._reset_vals()
         k = self.active_hold - 1
         r = self.roi
-        bscandb = result.bscandb
+        bscandb = np.asarray(result.bscandb)   # may be device-resident
         col = bscandb[r["y"]: r["y"] + r["h"], session.ascanat]
         block = bscandb[r["y"]: r["y"] + r["h"], r["x"]: r["x"] + r["w"]]
         colmax = block.max(axis=0)                  # reduce CV_REDUCE_MAX

@@ -37,7 +37,13 @@ from fdoct_tpu.sinks import RunWriter
 
 @dataclasses.dataclass
 class BscanResult:
-    """Outputs of one completed averaging group (one displayed B-scan)."""
+    """Outputs of one completed averaging group (one displayed B-scan).
+
+    ``bscandisp`` is always a host numpy array; ``bscan``/``bscandb`` may be
+    device-resident jax arrays when produced by the batched fast path
+    (Session.process_group) — call ``np.asarray`` on them for host-side
+    mutation (reads work either way via ``__array__``).
+    """
     bscan: np.ndarray             # linear, (ndisp, oph)
     bscandb: np.ndarray           # dB with DC rows masked
     bscandisp: np.ndarray         # uint8 display
@@ -453,12 +459,14 @@ class Session:
             jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
             self.calib, cfg, groups, avg, self.method,
             self.variant == "dark", strict_eps)
-        bscan_np = np.asarray(outs.bscan)
-        db_np = np.asarray(outs.bscandb)
+        # only the uint8 display image transfers to host eagerly (what the
+        # viewer consumes); the linear/dB stacks stay device-resident and
+        # materialize lazily if a plugin or caller touches them — the hot
+        # loop never pays their device→host bandwidth
         disp_np = np.asarray(outs.bscandisp)
         results = []
         for i in range(groups):
-            result = BscanResult(bscan=bscan_np[i], bscandb=db_np[i],
+            result = BscanResult(bscan=outs.bscan[i], bscandb=outs.bscandb[i],
                                  bscandisp=disp_np[i], index=self.indexi)
             for plugin in self.plugins:
                 plugin.on_bscan(self, result)

@@ -54,14 +54,23 @@ def main() -> None:
     print(f"device: {dev} ({dev.platform})", file=sys.stderr, flush=True)
 
     # ---- 1. raw device_put bandwidth --------------------------------
+    # block_until_ready does not reliably wait on remote-tunnel platforms
+    # (BENCH.md); force true completion by fetching a scalar that depends
+    # on the landed data.
     rng = np.random.default_rng(0)
     pool = rng.integers(0, 255, (4, BATCH, ROWS, COLS)).astype(np.uint8)
-    jax.device_put(pool[0], dev).block_until_ready()      # warm
+
+    def put_forced(arr):
+        x = jax.device_put(arr, dev)
+        int(x[0, 0, 0])          # scalar fetch: transfer must have landed
+        return x
+
+    put_forced(pool[0])          # warm
     nbytes = pool[0].nbytes
     best = float("inf")
     for i in range(8):
         t0 = time.perf_counter()
-        jax.device_put(pool[i % 4], dev).block_until_ready()
+        put_forced(pool[i % 4])
         best = min(best, time.perf_counter() - t0)
     put_mbps = nbytes / best / 1e6
     print(json.dumps({"metric": "device_put_bandwidth",
@@ -94,6 +103,7 @@ def main() -> None:
     t0 = time.perf_counter()
     results, stats = run_streaming(frame_source(), jstep, batch=BATCH,
                                    n_batches=n_batches, device=dev)
+    float(jnp.sum(results[-1]))       # force true completion of the tail
     dt = time.perf_counter() - t0
     ingest_ascans = len(results) * BATCH * ROWS / dt
     print(json.dumps({"metric": "ingest_inclusive_ascans_per_sec",
@@ -129,6 +139,7 @@ def main() -> None:
     t0 = time.perf_counter()
     results, stats = run_streaming(source_f(), jstep_f, batch=BATCH,
                                    n_batches=n_batches, device=dev)
+    float(jnp.sum(results[-1]))       # force true completion of the tail
     dt = time.perf_counter() - t0
     fps = len(results) * BATCH / dt
     need_mbps_flir = 500 * FLIR_H * FLIR_W / 1e6

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Session fast-path throughput: is the full-featured interactive session
+within ~2x of the raw bench.py pipeline? (VERDICT r1 weak-4 criterion.)
+
+Measures Session.process_group at the flagship shape in two regimes:
+
+- device-resident frames (the compute number, comparable to bench.py's
+  primary metric), and
+- host numpy frames (ingest-inclusive; tunnel-bound in this dev
+  environment, PCIe-bound in deployment).
+
+Run: python scripts/bench_session.py [--cpu]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+ROWS, COLS, NFFT, NDISP, BATCH = 512, 2048, 2048, 512, 8
+GROUPS_PER_CALL = 8           # 64 frames per process_group call
+REPEATS = 6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.session import Session
+
+    cfg = PipelineConfig(width=COLS, height=ROWS, binvalue=1, averages=BATCH,
+                         numfftpoints=NFFT, numdisplaypoints=NDISP,
+                         lambdamin=816e-9, lambdamax=884e-9,
+                         dtype="float32", compat=True)
+    s = Session(cfg)
+    s.data_yb = jnp.full((ROWS, COLS), 128.0, jnp.float32)
+    rng = np.random.default_rng(0)
+    host = rng.integers(0, 255, (GROUPS_PER_CALL * BATCH, ROWS, COLS)
+                        ).astype(np.uint8)
+    dev_frames = jnp.asarray(host)
+    dev_frames.block_until_ready()
+
+    def run(frames):
+        rs = s.process_group(frames)
+        assert len(rs) == GROUPS_PER_CALL
+        return rs
+
+    run(dev_frames)                      # compile + warm
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run(dev_frames)
+        best = min(best, time.perf_counter() - t0)
+    resident = GROUPS_PER_CALL * BATCH * ROWS / best
+    print(json.dumps({"metric": "session_ascans_per_sec_resident",
+                      "value": round(resident, 1), "unit": "ascans/s",
+                      "ms_per_group": round(best / GROUPS_PER_CALL * 1e3, 3),
+                      "note": "includes the per-group uint8 display fetch "
+                              "to host (256 kB/group — ~7 ms on this "
+                              "tunnel, ~20 us on PCIe)"}),
+          flush=True)
+
+    # the session's device compute path alone (what process_group
+    # dispatches), scalar-fetch forced and dispatch-RTT-cancelled by
+    # differencing two group counts (the bench.py methodology) —
+    # apples-to-apples with bench.py's primary metric; the VERDICT-r1
+    # '≤2x of bench' criterion applies here
+    from fdoct_tpu.session import _session_group_pipeline
+
+    thr = jnp.asarray(s.bscanthreshold, jnp.float32)
+
+    def pipeline_time(groups):
+        frames = jnp.asarray(
+            rng.integers(0, 255, (groups * BATCH, ROWS, COLS)
+                         ).astype(np.uint8))
+
+        def call():
+            outs = _session_group_pipeline(
+                frames, s.data_yb, s.data_yp, s.data_yd, thr, s.calib,
+                cfg, groups, BATCH, "fused", False, 1e-5)
+            return float(jnp.sum(outs.bscandisp))
+
+        call()                            # compile + land frames
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            call()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    g1, g2 = GROUPS_PER_CALL, GROUPS_PER_CALL * 4
+    t1, t2 = pipeline_time(g1), pipeline_time(g2)
+    per_group = (t2 - t1) / (g2 - g1)
+    if per_group <= 0:
+        print(json.dumps({"metric": "session_pipeline_ascans_per_sec_device",
+                          "error": f"inconsistent timings {t1} {t2}"}))
+    else:
+        dev_rate = BATCH * ROWS / per_group
+        print(json.dumps({"metric": "session_pipeline_ascans_per_sec_device",
+                          "value": round(dev_rate, 1), "unit": "ascans/s",
+                          "ms_per_group": round(per_group * 1e3, 3)}),
+              flush=True)
+
+    best = float("inf")
+    for _ in range(max(REPEATS // 2, 2)):
+        t0 = time.perf_counter()
+        run(host)
+        best = min(best, time.perf_counter() - t0)
+    ingest = GROUPS_PER_CALL * BATCH * ROWS / best
+    print(json.dumps({"metric": "session_ascans_per_sec_host_frames",
+                      "value": round(ingest, 1), "unit": "ascans/s"}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

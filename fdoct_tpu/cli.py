@@ -200,33 +200,39 @@ def cmd_live(args) -> int:
         it = iter(src.frames())
 
     n = 0
-    while not s.done and (args.frames == 0 or n < args.frames):
-        if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
-            for ch in sys.stdin.readline().rstrip("\n"):
-                s.key(ch)
-        if viewer is not None:
-            for ch in viewer.pop_keys():
-                s.key(ch)
-            for roi in viewer.pop_rois():
-                s.set_roi(roi["x"], roi["y"], roi["w"], roi["h"])
+    try:
+        while not s.done and (args.frames == 0 or n < args.frames):
+            if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
+                for ch in sys.stdin.readline().rstrip("\n"):
+                    s.key(ch)
+            if viewer is not None:
+                for ch in viewer.pop_keys():
+                    s.key(ch)
+                for roi in viewer.pop_rois():
+                    s.set_roi(roi["x"], roi["y"], roi["w"], roi["h"])
+            if streamer is not None:
+                want = batch if args.frames == 0 else min(batch,
+                                                          args.frames - n)
+                raws = streamer.get_batch(want)   # raises if the source died
+                if raws is None:
+                    break
+                rs = s.process_group(raws)
+                n += len(raws)
+                raw, r = raws[-1], (rs[-1] if rs else None)
+            else:
+                raw = next(it)
+                r = s.process(raw)
+                n += 1
+            if viewer is not None:
+                viewer.show_session_frame(s, raw, r)
+            if r is not None and args.verbose:
+                print(f"bscan group done (n={n}), peak "
+                      f"{r.bscandb.max():.1f} dB", file=sys.stderr)
+    finally:
+        # join the producer before main() closes the source: a live
+        # producer polling a just-munmapped ring would crash the process
         if streamer is not None:
-            raws = streamer.get_batch(batch)
-            if raws is None:
-                break
-            rs = s.process_group(raws)
-            n += len(raws)
-            raw, r = raws[-1], (rs[-1] if rs else None)
-        else:
-            raw = next(it)
-            r = s.process(raw)
-            n += 1
-        if viewer is not None:
-            viewer.show_session_frame(s, raw, r)
-        if r is not None and args.verbose:
-            print(f"bscan group done (n={n}), peak "
-                  f"{r.bscandb.max():.1f} dB", file=sys.stderr)
-    if streamer is not None:
-        streamer.stop()
+            streamer.stop()
     if getattr(args, "checkpoint", None):
         from fdoct_tpu.utils.checkpoint import save_session
         save_session(s, args.checkpoint)

@@ -282,8 +282,14 @@ class Session:
         routes to VibrometryPlugin.set_roi, otherwise it positions the
         ROI-analytics window (ascanat/vertposROI/widthROI — the quantities
         the (/9/0/)/w/W/h/H keys step, BscanFFT.cpp:1584+)."""
-        x, y = max(0, int(x)), max(0, int(y))
-        w, h = max(1, int(w)), max(1, int(h))
+        # clamp to the B-scan image (depth = ndisp rows, lateral = oph
+        # cols) — drags can arrive from any dashboard window, and an
+        # out-of-range ROI would crash the vibrometry hold later
+        ndisp, oph = self.calib.ndisp, self.cfg.oph
+        x = max(0, min(int(x), oph - 1))
+        y = max(0, min(int(y), ndisp - 1))
+        w = max(1, min(int(w), oph - x))
+        h = max(1, min(int(h), ndisp - y))
         for plugin in self.plugins:
             if hasattr(plugin, "set_roi"):
                 plugin.set_roi(x, y, w, h)
@@ -388,7 +394,7 @@ class Session:
         # apodize + A-scan magnitudes
         yw = y - self.data_yd if self.variant == "dark" else y  # BscanDark.cpp:1269
         yr = apodize_ratio(yw, self.data_yb, self.data_yp, cfg)
-        mags = ascan_mags(yr, self.calib, self.method)
+        mags = ascan_mags(yr, self.calib, self.method, cfg.matmul_precision)
 
         # accumulate (BscanFFT.cpp:1193-1209)
         if self.variant == "sim" and cfg.simcopyto:

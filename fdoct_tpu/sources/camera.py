@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 import time
 from pathlib import Path
 from typing import Iterator
@@ -193,8 +194,11 @@ class CameraSource:
         self.proc = None
         # last commanded control values; re-asserted after a daemon restart
         # (a restarted daemon re-creates the ring header, zeroing the
-        # control block)
+        # control block).  The seqlock assumes a SINGLE control writer;
+        # set_param (session thread) and _restart's re-assert (possibly the
+        # FrameStreamer producer thread) serialize on this lock.
         self._ctrl_state: dict[str, float] = {}
+        self._ctrl_lock = threading.Lock()
         if daemon_args is not None:
             self._spawn()
         self.reader = RingReader(ring_path)
@@ -220,15 +224,19 @@ class CameraSource:
         # (fdoct_ring.cpp), so the restarted daemon re-applies exposure/gain
         # by itself.  Wait for that first apply (ctrl_applied becomes
         # nonzero) before re-asserting, so a concurrent header re-init can't
-        # wipe the re-assert; the re-assert covers the ring-file-deleted
-        # case where nothing was preserved.
+        # wipe the re-assert.  When nothing was preserved (fresh ring file:
+        # ctrl_seq == 0) there is nothing for the daemon to apply — skip
+        # the wait and just re-assert.
         if self._ctrl_state:
             deadline = time.monotonic() + 5.0
+            lib, h = self.reader.lib, self.reader.h
             while (time.monotonic() < deadline
-                   and self.reader.lib.fdoct_ring_ctrl_applied(self.reader.h) == 0):
+                   and lib.fdoct_ring_ctrl_seq(h) != 0
+                   and lib.fdoct_ring_ctrl_applied(h) == 0):
                 time.sleep(0.005)
-            for name, value in self._ctrl_state.items():
-                self.reader.set_ctrl(name, value)
+            with self._ctrl_lock:
+                for name, value in self._ctrl_state.items():
+                    self.reader.set_ctrl(name, value)
         return True
 
     def set_param(self, param: str, value: float) -> None:
@@ -238,8 +246,9 @@ class CameraSource:
         SetQHYCCDParam key handlers (BscanFFT.cpp:1600-1624)."""
         if param not in CTRL_PARAMS:
             return  # unknown knobs are ignored, like an SDK without them
-        self._ctrl_state[param] = float(value)
-        self.reader.set_ctrl(param, value)
+        with self._ctrl_lock:
+            self._ctrl_state[param] = float(value)
+            self.reader.set_ctrl(param, value)
 
     def frames(self) -> Iterator[np.ndarray]:
         while True:

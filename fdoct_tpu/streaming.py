@@ -54,6 +54,7 @@ class FrameStreamer:
         self.drop_oldest = drop_oldest
         self.rate_fps = rate_fps
         self.stats = StreamStats()
+        self.error: BaseException | None = None   # producer death, surfaced
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -64,42 +65,59 @@ class FrameStreamer:
     def _run(self) -> None:
         period = 1.0 / self.rate_fps if self.rate_fps else 0.0
         next_t = time.monotonic()
-        for frame in self._it:
-            if self._stop.is_set():
-                break
-            if period:
-                next_t += period
-                delay = next_t - time.monotonic()
-                if delay > 0:
-                    time.sleep(delay)
-            while True:
-                try:
-                    self.q.put_nowait(frame)
-                    self.stats.frames_in += 1
+        try:
+            for frame in self._it:
+                if self._stop.is_set():
                     break
-                except queue.Full:
-                    if self.drop_oldest:
-                        try:
-                            self.q.get_nowait()
-                            self.stats.dropped += 1
-                        except queue.Empty:
-                            pass
-                    else:
-                        if self._stop.wait(0.001):
-                            return
+                if period:
+                    next_t += period
+                    delay = next_t - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
+                while True:
+                    try:
+                        self.q.put_nowait(frame)
+                        self.stats.frames_in += 1
+                        break
+                    except queue.Full:
+                        if self.drop_oldest:
+                            try:
+                                self.q.get_nowait()
+                                self.stats.dropped += 1
+                            except queue.Empty:
+                                pass
+                        else:
+                            if self._stop.wait(0.001):
+                                return
+        except BaseException as e:   # a dead source must not look like EOF
+            self.error = e
 
     def get_batch(self, n: int, timeout_s: float = 10.0) -> np.ndarray | None:
+        """Up to ``n`` frames (a short final batch when the producer ended
+        with frames still queued); None on a clean end with nothing queued.
+        Re-raises the producer's exception (e.g. the camera watchdog's
+        TimeoutError) instead of masking it as a silent timeout."""
         frames = []
         deadline = time.monotonic() + timeout_s
         while len(frames) < n:
             try:
-                frames.append(self.q.get(timeout=max(0.0, deadline - time.monotonic())))
+                frames.append(self.q.get(timeout=min(
+                    0.2, max(0.0, deadline - time.monotonic()))))
             except queue.Empty:
-                return None
+                if self.error is not None:
+                    raise self.error
+                if not self._thread.is_alive() or time.monotonic() >= deadline:
+                    break
+        if not frames:
+            return None
         return np.stack(frames)
 
-    def stop(self) -> None:
+    def stop(self, join_timeout_s: float = 10.0) -> None:
+        """Signal the producer and wait for it to exit, so the caller can
+        safely close the frame source (the ring mmap) afterwards."""
         self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=join_timeout_s)
 
 
 def run_streaming(

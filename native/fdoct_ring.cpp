@@ -203,8 +203,12 @@ void fdoct_ring_set_ctrl(void *handle, uint32_t param, double value) {
   if (param >= NCTRL) return;
   Header *h = static_cast<Ring *>(handle)->hdr;
   const uint64_t s = __atomic_load_n(&h->ctrl_seq, __ATOMIC_RELAXED);
-  __atomic_store_n(&h->ctrl_seq, s + 1, __ATOMIC_RELEASE);  // odd: in progress
+  __atomic_store_n(&h->ctrl_seq, s + 1, __ATOMIC_RELAXED);  // odd: in progress
+  // the data store must not sink above the odd store or float below the
+  // even store on weakly-ordered CPUs — full seqlock write fencing
+  __atomic_thread_fence(__ATOMIC_RELEASE);
   h->ctrl_values[param] = value;
+  __atomic_thread_fence(__ATOMIC_RELEASE);
   __atomic_store_n(&h->ctrl_seq, s + 2, __ATOMIC_RELEASE);  // even: stable
 }
 
@@ -223,7 +227,11 @@ int fdoct_ring_poll_ctrl(void *handle, double *out) {
   if (s1 == __atomic_load_n(&h->ctrl_applied, __ATOMIC_RELAXED)) return 0;
   double vals[NCTRL];
   memcpy(vals, h->ctrl_values, sizeof(vals));
-  if (__atomic_load_n(&h->ctrl_seq, __ATOMIC_ACQUIRE) != s1) return 0;  // torn
+  // the data reads must complete before the seq re-check — an acquire
+  // LOAD only orders later accesses, so an explicit fence is required for
+  // the seqlock read side on weakly-ordered CPUs
+  __atomic_thread_fence(__ATOMIC_ACQUIRE);
+  if (__atomic_load_n(&h->ctrl_seq, __ATOMIC_RELAXED) != s1) return 0;  // torn
   memcpy(out, vals, sizeof(vals));
   __atomic_store_n(&h->ctrl_applied, s1, __ATOMIC_RELEASE);
   return 1;

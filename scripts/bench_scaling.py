@@ -74,6 +74,11 @@ def collective_bytes(hlo_text: str) -> dict[str, int]:
         if not m:
             continue
         shapes, op = m.group(1), m.group(2)
+        # async pairs appear as -start/-done: the -start's result is a
+        # tuple that aliases the operand (double the real size), so count
+        # only the -done's plain result shape; sync ops count their result
+        if f"{op}-start" in line:
+            continue
         nbytes = 0
         for dt, dims in shape_re.findall(shapes):
             if dt not in _DTYPE_BYTES:
@@ -83,10 +88,6 @@ def collective_bytes(hlo_text: str) -> dict[str, int]:
                 if d:
                     n *= int(d)
             nbytes += n * _DTYPE_BYTES[dt]
-        # async pairs appear as -start/-done with the same shape: count the
-        # -start only (the -done repeats it)
-        if f"{op}-done" in line:
-            continue
         out[op] = out.get(op, 0) + nbytes
     return out
 

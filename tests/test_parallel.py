@@ -115,6 +115,21 @@ class TestScalingHarness:
         assert got["all-reduce"] == 256 * 512 * 4 + 4
         assert got["all-gather"] == 8 * 256 * 512 * 4
 
+    def test_collective_bytes_async_pair_counted_once(self):
+        """-start results are operand-aliasing tuples (2x the real size);
+        only the -done's plain result shape counts."""
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from bench_scaling import collective_bytes
+
+        hlo = """
+  %st = (f32[256,512]{1,0}, f32[256,512]{1,0}) all-reduce-start(f32[256,512]{1,0} %x)
+  %dn = f32[256,512]{1,0} all-reduce-done((f32[256,512]{1,0}, f32[256,512]{1,0}) %st)
+"""
+        got = collective_bytes(hlo)
+        assert got["all-reduce"] == 256 * 512 * 4
+
     def test_measured_psum_traffic_matches_design(self, small_cfg):
         """The compiled sharded B-scan step moves exactly one
         (H_loc x ndisp) psum + 2 scalars over the mesh (BENCH.md claim)."""

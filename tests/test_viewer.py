@@ -193,7 +193,7 @@ class TestRoiOverHttp:
         (VERDICT r1 item 7 'done' criterion)."""
         import json as _json
 
-        cfg = PipelineConfig(width=64, height=8, averages=1,
+        cfg = PipelineConfig(width=64, height=32, averages=1,
                              numfftpoints=128, numdisplaypoints=40,
                              dtype="float64")
         s = Session(cfg, variant="peak")
@@ -256,3 +256,17 @@ class TestStatusRows:
         assert roi[0].col == 2           # chart advanced one column/group
         assert roi[0].plot.any()
         assert any("Mean of ROI" in line for line in s.status)
+
+    def test_set_roi_clamps_out_of_range_drags(self):
+        """Drags from any dashboard window clamp to the B-scan bounds so
+        the vibrometry hold cannot crash on an empty slice."""
+        cfg = PipelineConfig(width=64, height=8, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        s = Session(cfg, variant="peak")        # oph=8, ndisp=40
+        s.set_roi(3, 6, 9, 5)                   # w overruns oph
+        vib = s.plugins[0]
+        assert vib.roi == dict(x=3, y=6, w=5, h=5)
+        s.set_roi(500, 500, 10, 10)             # fully out of range
+        r = vib.roi
+        assert r["x"] + r["w"] <= 8 and r["y"] + r["h"] <= 40

@@ -69,8 +69,12 @@ def to_uint8(x01: jnp.ndarray) -> jnp.ndarray:
 def mask_dc_rows(bscan: jnp.ndarray, src_row: int = 4, upto: int = 2) -> jnp.ndarray:
     """Mask the DC rows of a (depth, lateral) B-scan for display by copying
     row ``src_row`` over rows [0, upto) (reference: BscanFFT.cpp:1239-1240
-    copies row 4 over rows 0 and 1)."""
-    out = bscan
-    for r in range(upto):
-        out = out.at[..., r, :].set(bscan[..., src_row, :])
-    return out
+    copies row 4 over rows 0 and 1).
+
+    Expressed as an iota select (not ``.at[].set``, which lowers to
+    dynamic-update-slice and breaks XLA's elementwise fusion of the
+    surrounding display chain — the hot-path cost is measured in
+    BENCH.md's display-epilogue note)."""
+    depth_idx = jnp.arange(bscan.shape[-2])[:, None]
+    return jnp.where(depth_idx < upto,
+                     bscan[..., src_row: src_row + 1, :], bscan)

@@ -34,9 +34,11 @@ def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
 
 def _mask_dc_rows_local(bscan_db: jnp.ndarray) -> jnp.ndarray:
     """DC-row masking on the local (depth, lateral) block; depth is
-    unsharded so this needs no communication (BscanFFT.cpp:1239-1240)."""
-    out = bscan_db.at[0, :].set(bscan_db[4, :])
-    return out.at[1, :].set(bscan_db[4, :])
+    unsharded so this needs no communication (BscanFFT.cpp:1239-1240).
+    Iota select rather than .at[].set — dynamic-update-slice breaks XLA's
+    fusion of the display chain (measured +16% on the single-chip bench)."""
+    depth_idx = jnp.arange(bscan_db.shape[0])[:, None]
+    return jnp.where(depth_idx < 2, bscan_db[4:5, :], bscan_db)
 
 
 def _bscan_step_fn(fr, yb, yp, *, calib: Calibration, cfg: PipelineConfig,

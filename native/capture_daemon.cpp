@@ -63,21 +63,30 @@ extern "C" void handle_sigterm(int) { g_stop = 1; }
 // ---------------------------------------------------------------------------
 
 static void synthetic_frame(std::vector<uint8_t> &buf, uint32_t w, uint32_t h,
-                            uint64_t t, double exposure_us, double gain) {
+                            uint32_t bpp, uint64_t t, double exposure_us,
+                            double gain) {
   // moving cosine fringe + gaussian envelope: cheap stand-in for a live
   // interferogram so end-to-end streaming runs without hardware.  Counts
   // scale linearly with exposure (full scale at the 1000 µs default) and
-  // with gain (percent), saturating at 255 like a real 8-bit sensor — so
+  // with gain (percent), saturating at full scale like a real sensor — so
   // the host's '+'/'-' keys have a measurable photometric effect.
+  // bpp 16 writes native-endian uint16 (the QHY 16-bit mode,
+  // SetQHYCCDBitsMode; the host reader views the ring as uint16).
   const double scale = (exposure_us / 1000.0) * (1.0 + gain / 100.0);
+  const double full = bpp > 8 ? 65535.0 : 255.0;
+  uint16_t *row16 = reinterpret_cast<uint16_t *>(buf.data());
   for (uint32_t y = 0; y < h; y++) {
     uint8_t *row = buf.data() + (size_t)y * w;
     for (uint32_t x = 0; x < w; x++) {
       double u = (double)x / w - 0.5;
       double env = std::exp(-u * u * 18.0);
       double fringe = std::cos(2.0 * M_PI * (0.08 * x + 0.01 * (double)t));
-      double v = 127.5 * env * (1.0 + fringe) * scale;
-      row[x] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      double v = (full / 2.0) * env * (1.0 + fringe) * scale;
+      v = v < 0 ? 0 : (v > full ? full : v);
+      if (bpp > 8)
+        row16[(size_t)y * w + x] = (uint16_t)v;
+      else
+        row[x] = (uint8_t)v;
     }
   }
 }
@@ -371,9 +380,15 @@ int main(int argc, char **argv) {
 
 #ifdef __linux__
   V4L2Source cam;
-  if (mode == "--v4l2" && !cam.open_dev(argv[8], w, h)) {
-    fprintf(stderr, "v4l2 open failed for %s\n", argv[8]);
-    return 1;
+  if (mode == "--v4l2") {
+    if (bpp > 8) {  // YUYV luma is 8-bit; a 16-bit ring would read garbage
+      fprintf(stderr, "v4l2 source is 8-bit only (got bpp=%u)\n", bpp);
+      return 2;
+    }
+    if (!cam.open_dev(argv[8], w, h)) {
+      fprintf(stderr, "v4l2 open failed for %s\n", argv[8]);
+      return 1;
+    }
   }
 #endif
 #ifdef FDOCT_WITH_QHY
@@ -413,7 +428,8 @@ int main(int argc, char **argv) {
 #endif
     }
     if (mode == "--synthetic") {
-      synthetic_frame(buf, w, h, t, ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN]);
+      synthetic_frame(buf, w, h, bpp, t, ctrl[CTRL_EXPOSURE_US],
+                      ctrl[CTRL_GAIN]);
     } else if (mode == "--pgm") {
       if (!read_pgm(pgms[t % pgms.size()], buf, w, h)) continue;
 #ifdef __linux__

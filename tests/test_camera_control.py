@@ -165,3 +165,22 @@ class TestSdkSeams:
             capture_output=True, text=True, timeout=30)
         assert r.returncode == 1
         assert "init failed" in r.stderr
+
+
+class TestBitDepth:
+    def test_synthetic_16bit_frames(self, tmp_path):
+        """A 16-bit ring gets real uint16 synthetic frames (the QHY 16-bit
+        mode), not an 8-bit pattern half-filling the buffer."""
+        from fdoct_tpu.sources.camera import CameraSource
+
+        src = CameraSource(tmp_path / "cam16.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, bpp=16, fps=500.0)
+        try:
+            frame = next(iter(src.frames()))
+            assert frame.dtype == np.uint16 and frame.shape == (16, 64)
+            assert frame.max() > 255          # uses the 16-bit range
+            # fringe structure present (not constant/garbage)
+            assert frame.std() > 1000
+        finally:
+            src.close()

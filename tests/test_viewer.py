@@ -270,3 +270,31 @@ class TestStatusRows:
         s.set_roi(500, 500, 10, 10)             # fully out of range
         r = vib.roi
         assert r["x"] + r["w"] <= 8 and r["y"] + r["h"] <= 40
+
+
+class TestRoiOverlay:
+    def test_bscan_render_draws_roi_rectangle(self):
+        """The selected vibrometry ROI outlines on the displayed B-scan
+        (reference: BscanFFTpeak.cpp:1568-1573)."""
+        disp = np.zeros((64, 32), np.uint8)
+        rgb = render_bscan(disp, roi={"x": 4, "y": 6, "w": 10, "h": 8})
+        assert (rgb[6, 4:15] == 255).all()      # top edge
+        assert (rgb[14, 4:15] == 255).all()     # bottom edge
+        assert (rgb[6:15, 4] == 255).all()      # left edge
+        assert (rgb[6:15, 14] == 255).all()     # right edge
+        assert not (rgb[10, 9] == 255).all()    # interior untouched
+
+    def test_session_roi_shows_in_viewer(self):
+        cfg = PipelineConfig(width=64, height=32, averages=1,
+                             numfftpoints=128, numdisplaypoints=40,
+                             dtype="float64")
+        src = SyntheticSource(height=32, width=64, depths_um=(20.0,))
+        s = Session(cfg, variant="peak")
+        s.set_roi(5, 8, 10, 6)
+        seen = {}
+        v = Viewer(mode="callback", callback=lambda n, i: seen.update({n: i}))
+        raw = next(iter(src.frames()))
+        r = s.process(raw)
+        v.show_session_frame(s, raw, r)
+        assert "bscan" in seen
+        assert (seen["bscan"][8, 5:16] == 255).all()

@@ -4,7 +4,11 @@
 // N reader threads poll the latest frame and verify internal consistency
 // (every pixel of a frame carries the same stamp — a torn read would mix
 // stamps, which the ring's per-slot sequence protocol must prevent).
-// Built under TSan/ASan via `make tsan` / `make asan`; exit 0 = clean.
+// A control-writer thread hammers the seqlock control block with paired
+// values while a poller verifies every delivered snapshot is consistent
+// (exposure == gain by construction — a torn seqlock read would mix
+// generations).  Built under TSan/ASan via `make tsan` / `make asan`;
+// exit 0 = clean.
 
 #include <atomic>
 #include <cstdint>
@@ -18,6 +22,8 @@ extern "C" {
 void *fdoct_ring_open(const char *, int, uint32_t, uint32_t, uint32_t, uint32_t);
 uint64_t fdoct_ring_push(void *, const uint8_t *);
 uint64_t fdoct_ring_latest(void *, uint64_t, uint8_t *);
+void fdoct_ring_set_ctrl(void *, uint32_t, double);
+int fdoct_ring_poll_ctrl(void *, double *);
 void fdoct_ring_close(void *);
 }
 
@@ -27,6 +33,44 @@ static const int FRAMES = 20000;
 static std::atomic<bool> done{false};
 static std::atomic<long> torn{0};
 static std::atomic<long> reads{0};
+static std::atomic<long> ctrl_polls{0};
+static std::atomic<long> ctrl_torn{0};
+
+// seqlock stress: host writes paired (exposure, gain) with exposure == gain
+// per generation; the daemon-side poller must never observe a mixed pair.
+static void *ctrl_writer(void *) {
+  void *ring = nullptr;
+  while (!ring) {
+    ring = fdoct_ring_open(PATH, 0, 0, 0, 0, 0);
+    if (!ring) usleep(100);
+  }
+  for (uint64_t g = 1; !done.load(std::memory_order_acquire); g++) {
+    fdoct_ring_set_ctrl(ring, 0, (double)g);
+    fdoct_ring_set_ctrl(ring, 1, (double)g);
+  }
+  fdoct_ring_close(ring);
+  return nullptr;
+}
+
+static void *ctrl_poller(void *) {
+  void *ring = nullptr;
+  while (!ring) {
+    ring = fdoct_ring_open(PATH, 0, 0, 0, 0, 0);
+    if (!ring) usleep(100);
+  }
+  double vals[8];
+  while (!done.load(std::memory_order_acquire)) {
+    if (fdoct_ring_poll_ctrl(ring, vals)) {
+      ctrl_polls.fetch_add(1);
+      // exposure may lead gain by exactly one generation (two set_ctrl
+      // calls per pair), never trail it and never differ by more
+      double d = vals[0] - vals[1];
+      if (d != 0.0 && d != 1.0) ctrl_torn.fetch_add(1);
+    }
+  }
+  fdoct_ring_close(ring);
+  return nullptr;
+}
 
 static void *writer(void *) {
   void *ring = fdoct_ring_open(PATH, 1, W, H, 8, SLOTS);
@@ -35,7 +79,6 @@ static void *writer(void *) {
     memset(buf.data(), (uint8_t)(i & 0xff), buf.size());
     fdoct_ring_push(ring, buf.data());
   }
-  done.store(true, std::memory_order_release);
   fdoct_ring_close(ring);
   return nullptr;
 }
@@ -68,13 +111,20 @@ static void *reader(void *) {
 
 int main() {
   unlink(PATH);
-  pthread_t w, r[3];
+  pthread_t w, r[3], cw, cp;
   pthread_create(&w, nullptr, writer, nullptr);
   usleep(1000);
   for (auto &t : r) pthread_create(&t, nullptr, reader, nullptr);
+  pthread_create(&cw, nullptr, ctrl_writer, nullptr);
+  pthread_create(&cp, nullptr, ctrl_poller, nullptr);
   pthread_join(w, nullptr);
+  usleep(300000);   // guarantee the ctrl threads real contention time
+  done.store(true, std::memory_order_release);
   for (auto &t : r) pthread_join(t, nullptr);
-  printf("reads=%ld torn=%ld\n", reads.load(), torn.load());
+  pthread_join(cw, nullptr);
+  pthread_join(cp, nullptr);
+  printf("reads=%ld torn=%ld ctrl_polls=%ld ctrl_torn=%ld\n",
+         reads.load(), torn.load(), ctrl_polls.load(), ctrl_torn.load());
   unlink(PATH);
-  return torn.load() == 0 ? 0 : 1;
+  return (torn.load() == 0 && ctrl_torn.load() == 0) ? 0 : 1;
 }

@@ -83,7 +83,8 @@ class TestSanitizers:
                            capture_output=True, text=True, timeout=120)
         assert r.returncode == 0, r.stdout + r.stderr
         assert "WARNING: ThreadSanitizer" not in r.stdout + r.stderr
-        assert "torn=0" in r.stdout
+        assert " torn=0" in r.stdout
+        assert "ctrl_torn=0" in r.stdout       # seqlock control channel
 
 
 class TestDaemon:

@@ -60,6 +60,22 @@ def _bscan_step_fn(fr, yb, yp, *, calib: Calibration, cfg: PipelineConfig,
     return db, (disp - gmin) / rng
 
 
+def build_bscan_step(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
+                     method: str, batch: int):
+    """The jitted sharded B-scan step as a callable — shared by
+    :func:`sharded_bscan_step`, the scaling harness (which lowers it to
+    count collective bytes in the emitted HLO), and the traffic test, so
+    all three see the identical compiled module."""
+    fn = shard_map(
+        partial(_bscan_step_fn, calib=calib, cfg=cfg, method=method,
+                batch=batch),
+        mesh=mesh,
+        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
+        out_specs=(P(None, "ascan"), P(None, "ascan")),
+    )
+    return jax.jit(fn)
+
+
 def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
                        pi_frame: jnp.ndarray, calib: Calibration,
                        cfg: PipelineConfig, mesh: Mesh,
@@ -75,16 +91,8 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
     Returns (bscan_db, bscan_disp01) with layout P(None, 'ascan'),
     jit-compiled over the mesh.
     """
-    from functools import partial as _partial
-
-    fn = shard_map(
-        _partial(_bscan_step_fn, calib=calib, cfg=cfg, method=method,
-                 batch=frames.shape[0]),
-        mesh=mesh,
-        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
-        out_specs=(P(None, "ascan"), P(None, "ascan")),
-    )
-    return jax.jit(fn)(frames, background, pi_frame)
+    return build_bscan_step(mesh, calib, cfg, method,
+                            frames.shape[0])(frames, background, pi_frame)
 
 
 def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,

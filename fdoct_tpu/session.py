@@ -459,12 +459,12 @@ class Session:
 
         self._tick_fps(frames[-1], n=n)
         groups = n // avg
-        strict_eps = 1e-5
+        # the live app's log guard; strict-sim (1e-6) is excluded above
         outs = _session_group_pipeline(
             jnp.asarray(frames), self.data_yb, self.data_yp, self.data_yd,
             jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
             self.calib, cfg, groups, avg, self.method,
-            self.variant == "dark", strict_eps)
+            self.variant == "dark", eps=1e-5)
         # only the uint8 display image transfers to host eagerly (what the
         # viewer consumes); the linear/dB stacks stay device-resident and
         # materialize lazily if a plugin or caller touches them — the hot

@@ -25,7 +25,6 @@ it ran in.
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import re
@@ -149,16 +148,8 @@ def main() -> None:
         eff = t1 / (n * best)
 
         # collective traffic from the ACTUAL compiled sharded module
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-        from fdoct_tpu.parallel.sharded import _bscan_step_fn
-        fn = jax.jit(shard_map(
-            functools.partial(_bscan_step_fn, calib=calib, cfg=cfg,
-                              method="fused", batch=BATCH),
-            mesh=mesh,
-            in_specs=(P("data", "ascan", None), P("ascan", None),
-                      P("ascan", None)),
-            out_specs=(P(None, "ascan"), P(None, "ascan"))))
+        from fdoct_tpu.parallel.sharded import build_bscan_step
+        fn = build_bscan_step(mesh, calib, cfg, "fused", BATCH)
         hlo = fn.lower(frames, bg, pi).compile().as_text()
         coll = collective_bytes(hlo)
         total_coll = sum(coll.values())

@@ -133,20 +133,17 @@ class TestScalingHarness:
     def test_measured_psum_traffic_matches_design(self, small_cfg):
         """The compiled sharded B-scan step moves exactly one
         (H_loc x ndisp) psum + 2 scalars over the mesh (BENCH.md claim)."""
-        import functools
         import sys
         from pathlib import Path
 
         import jax
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
 
         sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
         from bench_scaling import collective_bytes
 
         from fdoct_tpu.calibration import Calibration
         from fdoct_tpu.parallel import make_mesh, shard_frames
-        from fdoct_tpu.parallel.sharded import _bscan_step_fn
+        from fdoct_tpu.parallel.sharded import build_bscan_step
 
         cfg = small_cfg
         calib = Calibration.create(cfg)
@@ -157,13 +154,7 @@ class TestScalingHarness:
             mesh)
         bg = jnp.full((cfg.oph, cfg.opw), 128.0, cfg.dtype)
         pi = jnp.zeros_like(bg)
-        fn = jax.jit(shard_map(
-            functools.partial(_bscan_step_fn, calib=calib, cfg=cfg,
-                              method="fused", batch=4),
-            mesh=mesh,
-            in_specs=(P("data", "ascan", None), P("ascan", None),
-                      P("ascan", None)),
-            out_specs=(P(None, "ascan"), P(None, "ascan"))))
+        fn = build_bscan_step(mesh, calib, cfg, "fused", 4)
         hlo = fn.lower(frames, bg, pi).compile().as_text()
         got = collective_bytes(hlo)
         h_loc = cfg.oph // 2

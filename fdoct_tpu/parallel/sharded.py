@@ -95,18 +95,11 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
                             frames.shape[0])(frames, background, pi_frame)
 
 
-def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,
-                         pi_frame: jnp.ndarray, calib: Calibration,
-                         cfg: PipelineConfig, mesh: Mesh,
-                         method: str = "fused",
-                         gather_full: bool = False):
-    """Volumetric C-scan: per-frame B-scans for a (F, H, W) volume.
-
-    Frames shard over 'data', rows over 'ascan'.  Each device reconstructs
-    its block locally; ``all_gather`` over 'ascan' assembles complete
-    B-scans so the volume comes out P('data', None, None) — or fully
-    replicated when ``gather_full`` (an extra all_gather over 'data').
-    """
+def build_cscan_volume(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
+                       method: str = "fused", gather_full: bool = False):
+    """The jitted sharded C-scan volume assembly as a callable (shared by
+    :func:`sharded_cscan_volume` and the scaling harness's HLO traffic
+    accounting)."""
 
     def step(fr, yb, yp):
         y = preprocess(fr, cfg)
@@ -127,4 +120,20 @@ def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,
         # static varying-axes check cannot infer that, so disable it
         check_vma=False,
     )
-    return jax.jit(fn)(frames, background, pi_frame)
+    return jax.jit(fn)
+
+
+def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,
+                         pi_frame: jnp.ndarray, calib: Calibration,
+                         cfg: PipelineConfig, mesh: Mesh,
+                         method: str = "fused",
+                         gather_full: bool = False):
+    """Volumetric C-scan: per-frame B-scans for a (F, H, W) volume.
+
+    Frames shard over 'data', rows over 'ascan'.  Each device reconstructs
+    its block locally; ``all_gather`` over 'ascan' assembles complete
+    B-scans so the volume comes out P('data', None, None) — or fully
+    replicated when ``gather_full`` (an extra all_gather over 'data').
+    """
+    return build_cscan_volume(mesh, calib, cfg, method, gather_full)(
+        frames, background, pi_frame)

@@ -164,23 +164,27 @@ def main() -> None:
               f"eff={eff:5.1%}  collectives={total_coll/1e3:.1f} kB "
               f"{coll}", flush=True)
 
-    # C-scan volume assembly at the largest mesh
+    # C-scan volume assembly at the largest mesh (+ its all_gather traffic)
     n = counts[-1]
     n_ascan = 2 if n % 2 == 0 and n > 1 else 1
     mesh = make_mesh(n // n_ascan, n_ascan, devices=devs[:n])
     frames = shard_frames(jnp.asarray(frames_host), mesh)
-    vol = sharded_cscan_volume(frames, bg, pi, calib, cfg, mesh)
+    from fdoct_tpu.parallel.sharded import build_cscan_volume
+    cfn = build_cscan_volume(mesh, calib, cfg)
+    vol = cfn(frames, bg, pi)
     vol.block_until_ready()
     t0 = time.perf_counter()
-    vol = sharded_cscan_volume(frames, bg, pi, calib, cfg, mesh)
+    vol = cfn(frames, bg, pi)
     vol.block_until_ready()
     t_cscan = time.perf_counter() - t0
+    cscan_coll = collective_bytes(cfn.lower(frames, bg, pi).compile().as_text())
     print(f"cscan volume {tuple(vol.shape)} on {n} devices: "
-          f"{t_cscan*1e3:.2f} ms", flush=True)
+          f"{t_cscan*1e3:.2f} ms  collectives={cscan_coll}", flush=True)
 
     print(json.dumps({"metric": "scaling", "platform": platform,
                       "flagship": [ROWS, COLS, NFFT, NDISP, BATCH],
-                      "rows": rows}))
+                      "rows": rows,
+                      "cscan_collectives": cscan_coll}))
 
 
 if __name__ == "__main__":

@@ -197,3 +197,42 @@ class TestCscan:
 class TestSelftest:
     def test_selftest_passes(self):
         assert main(["selftest"]) == 0
+
+
+class TestLiveBatch:
+    def test_live_batch_exact_frames(self, small_ini, tmp_path, monkeypatch):
+        """--batch rides Session.process_group and honors --frames exactly
+        (a short final batch, not an overshoot)."""
+        import io
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--batch", "4", "--frames", "10"])
+        assert rc == 0
+
+    @pytest.mark.skipif(__import__("shutil").which("g++") is None,
+                        reason="no C++ toolchain")
+    def test_live_batch_dead_daemon_is_an_error(self, small_ini, tmp_path,
+                                                monkeypatch):
+        """A camera daemon that dies past max_restarts surfaces as an
+        error, not a silent 'processed N frames' exit 0."""
+        import io
+
+        import fdoct_tpu.sources.camera as cam_mod
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        # make every spawned daemon die instantly and disable restarts
+        orig_init = cam_mod.CameraSource.__init__
+
+        def init(self, *a, **kw):
+            kw["max_restarts"] = 0
+            kw["starve_timeout_s"] = 1.0
+            orig_init(self, *a, **kw)
+            self.proc.kill()
+            self.proc.wait(timeout=5)
+
+        monkeypatch.setattr(cam_mod.CameraSource, "__init__", init)
+        with pytest.raises(TimeoutError):
+            main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                  "--camera", str(tmp_path / "dead.ring"),
+                  "--batch", "4", "--frames", "20"])

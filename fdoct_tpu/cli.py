@@ -200,6 +200,15 @@ def cmd_live(args) -> int:
         it = iter(src.frames())
 
     n = 0
+    tracer = None
+    if getattr(args, "trace", ""):
+        # device-level profiling of the live loop (the reference's tracing
+        # story is a 5 s fps counter, SURVEY.md §5; this gives real
+        # per-kernel traces viewable in TensorBoard/xprof)
+        from fdoct_tpu.utils.profiling import device_trace
+        tracer = device_trace(args.trace)
+        tracer.__enter__()
+        print(f"profiler trace → {args.trace}", file=sys.stderr)
     try:
         while not s.done and (args.frames == 0 or n < args.frames):
             if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
@@ -229,6 +238,8 @@ def cmd_live(args) -> int:
                 print(f"bscan group done (n={n}), peak "
                       f"{r.bscandb.max():.1f} dB", file=sys.stderr)
     finally:
+        if tracer is not None:
+            tracer.__exit__(None, None, None)
         # join the producer before main() closes the source: a live
         # producer polling a just-munmapped ring would crash the process
         if streamer is not None:
@@ -671,6 +682,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "path via Session.process_group; use a multiple "
                          "of the averaging count)")
     sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--trace", metavar="LOGDIR", default="",
+                    help="write a jax.profiler device trace of the live "
+                         "loop here (open with TensorBoard/xprof)")
     sp.add_argument("--checkpoint", metavar="PATH",
                     help="save session state (config + calibration tensors "
                          "+ knobs) here on exit")

@@ -12,6 +12,8 @@ Run: python examples/cscan_volume.py [n_frames]
 """
 
 import sys
+from pathlib import Path as _P
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # run from a checkout
 
 import numpy as np
 import jax

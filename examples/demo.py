@@ -5,6 +5,8 @@ Works on CPU or TPU; on CPU set JAX_PLATFORMS=cpu.
 """
 
 import sys
+from pathlib import Path as _P
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # run from a checkout
 from pathlib import Path
 
 import numpy as np

@@ -8,6 +8,10 @@ way the reference's "Vibration profile" window shows it.
 Run: python examples/vibrometry_demo.py
 """
 
+import sys
+from pathlib import Path as _P
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))  # run from a checkout
+
 import numpy as np
 import jax.numpy as jnp
 

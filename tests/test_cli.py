@@ -236,3 +236,25 @@ class TestLiveBatch:
             main(["live", "--config", small_ini, "--outdir", str(tmp_path),
                   "--camera", str(tmp_path / "dead.ring"),
                   "--batch", "4", "--frames", "20"])
+
+
+class TestExamples:
+    """The checked-in examples must keep running from a checkout."""
+
+    @pytest.mark.parametrize("script,args", [
+        ("demo.py", []),
+        ("cscan_volume.py", ["8"]),
+        ("vibrometry_demo.py", []),
+    ])
+    def test_example_runs(self, script, args, tmp_path, monkeypatch):
+        import subprocess
+        import sys as _sys
+
+        root = Path(__file__).resolve().parents[1]
+        env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+               "HOME": str(tmp_path)}
+        r = subprocess.run(
+            [_sys.executable, str(root / "examples" / script)] + args,
+            cwd=tmp_path, capture_output=True, text=True, timeout=300,
+            env=env)
+        assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]

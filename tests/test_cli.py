@@ -258,3 +258,39 @@ class TestExamples:
             cwd=tmp_path, capture_output=True, text=True, timeout=300,
             env=env)
         assert r.returncode == 0, r.stdout[-500:] + r.stderr[-500:]
+
+
+class TestResumeCameraControl:
+    @pytest.mark.skipif(__import__("shutil").which("g++") is None,
+                        reason="no C++ toolchain")
+    def test_resume_pushes_restored_exposure(self, small_ini, tmp_path,
+                                             monkeypatch):
+        """--resume restores the session's exposure AND pushes it to the
+        running camera via the control block (the restored-knobs-win rule
+        in cmd_live)."""
+        import io
+
+        ring = tmp_path / "cam.ring"
+        ck = tmp_path / "ck.npz"
+        # first run: 'u' raises exposure 1000 -> 2000, checkpointed on exit
+        monkeypatch.setattr("sys.stdin", io.StringIO("u\n"))
+        calls = iter([([__import__("sys").stdin], [], []), ([], [], [])])
+        monkeypatch.setattr("select.select",
+                            lambda *a, **k: next(calls, ([], [], [])))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--camera", str(ring), "--camera-fps", "300",
+                   "--frames", "3", "--checkpoint", str(ck)])
+        assert rc == 0 and ck.exists()
+        # second run resumes; the restored 2000 µs must land in the ring
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--camera", str(ring), "--camera-fps", "300",
+                   "--frames", "2", "--resume", str(ck)])
+        assert rc == 0
+        from fdoct_tpu.sources.camera import RingReader
+        r = RingReader(ring)
+        try:
+            assert r.get_ctrl("exposure") == 2000.0
+        finally:
+            r.close()

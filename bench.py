@@ -42,7 +42,7 @@ CACHE = ROOT / "native" / ".baseline_cache.json"
 ROWS, COLS, NFFT, NDISP = 512, 2048, 2048, 512
 BATCH = 8          # frames per group (averages)
 G1, G2 = 64, 256   # scan lengths for the differenced timing
-REPEATS = 4
+REPEATS = 6
 
 
 def cpp_baseline_ascans_per_sec() -> float:
@@ -123,7 +123,16 @@ def main() -> None:
 
     @jax.jit
     def batched_groups(all_frames):
-        return jax.vmap(group_step)(all_frames).sum()
+        # flat formulation: ONE matmul over every frame of every group,
+        # then a vmapped display chain — measured faster than
+        # vmap(group_step) (the per-group matmuls), see BENCH.md
+        g = all_frames.shape[0]
+        mags = reconstruct(all_frames, background, pi_frame, calib, cfg,
+                           method="fused")          # (g, BATCH, ROWS, NDISP)
+        msum = mags.sum(axis=1)
+        disp = jax.vmap(
+            lambda m: form_bscan(m, cfg, averages=BATCH).bscandisp)(msum)
+        return disp.sum()
 
     def measure(fn, g):
         frames = gen_frames(g)

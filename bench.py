@@ -124,9 +124,7 @@ def main() -> None:
     @jax.jit
     def batched_groups(all_frames):
         # flat formulation: ONE matmul over every frame of every group,
-        # then a vmapped display chain — measured faster than
-        # vmap(group_step) (the per-group matmuls), see BENCH.md
-        g = all_frames.shape[0]
+        # then a vmapped display chain (the offline / process_group path)
         mags = reconstruct(all_frames, background, pi_frame, calib, cfg,
                            method="fused")          # (g, BATCH, ROWS, NDISP)
         msum = mags.sum(axis=1)
@@ -152,16 +150,15 @@ def main() -> None:
     for name, fn, g1, g2 in (("scan", scan_groups, G1, G2),
                              ("batched", batched_groups, 16, 64)):
         t1, t2 = measure(fn, g1), measure(fn, g2)
-        G1_, G2_ = g1, g2
         # sanity guard: best-of-N differenced timings must be positive and
         # the long run must dominate the short one, else the primary-metric
         # JSON would silently encode noise
         if not (t2 > t1 > 0):
-            print(f"FATAL: inconsistent {name} timings t({G1_})={t1:.4f}s "
-                  f"t({G2_})={t2:.4f}s — refusing to report a nonsense "
+            print(f"FATAL: inconsistent {name} timings t({g1})={t1:.4f}s "
+                  f"t({g2})={t2:.4f}s — refusing to report a nonsense "
                   f"metric", file=sys.stderr)
             raise SystemExit(1)
-        shapes[name] = (t2 - t1) / (G2_ - G1_)
+        shapes[name] = (t2 - t1) / (g2 - g1)
         print(f"info: {name} per-group {shapes[name]*1e3:.3f} ms",
               file=sys.stderr)
     shape = min(shapes, key=shapes.get)

@@ -77,6 +77,7 @@ class VibrometryPlugin:
         self.lambda0 = lambda0
         self.nframes = peakholdnumframes
         self.roi = dict(x=0, y=0, w=10, h=10)   # ROIposx/y/w/h globals
+        self.roi_selected = False               # set by set_roi / move keys
         self.display_profile = True
         self.active_hold: int | None = None
         self.frame_count = 0
@@ -98,6 +99,10 @@ class VibrometryPlugin:
         BscanFFTpeak.cpp:112-181); resets all hold arrays like the
         reference's mouse handler."""
         self.roi = dict(x=x, y=y, w=w, h=h)
+        # explicit selection flag for display overlays — the (0,0) sentinel
+        # below (a reference parity quirk, BscanFFTpeak.cpp:475-485) only
+        # gates the hold keys
+        self.roi_selected = True
         self._reset_vals()
 
     def _reset_vals(self) -> None:
@@ -125,32 +130,40 @@ class VibrometryPlugin:
             return True
         if ch == ">":
             self.roi["x"] += 1
+            self.roi_selected = True
             return True
         if ch == "<":
             self.roi["x"] = max(0, self.roi["x"] - 1)
+            self.roi_selected = True
             return True
         if ch == ",":
             self.roi["y"] += 1
+            self.roi_selected = True
             return True
         if ch == ".":
             # reference decrements ROIposx here (BscanFFTpeak.cpp '.': a
             # copy-paste slip under the "ROIposy up" comment); implementing
             # the documented intent instead
             self.roi["y"] = max(0, self.roi["y"] - 1)
+            self.roi_selected = True
             return True
         if ch == "M":
             self.roi["w"] += 1
+            self.roi_selected = True
             self._reset_vals()
             return True
         if ch == "m":
             self.roi["w"] = max(1, self.roi["w"] - 1)
+            self.roi_selected = True
             self._reset_vals()
             return True
         if ch == "?":
             self.roi["h"] += 1
+            self.roi_selected = True
             return True
         if ch == "/":
             self.roi["h"] = max(1, self.roi["h"] - 1)
+            self.roi_selected = True
             return True
         if ch in ("Z", "z"):
             if session.sink is not None and self.profile is not None:

@@ -141,8 +141,7 @@ class Viewer:
         if result is None:
             return
         roi = next((p.roi for p in session.plugins
-                    if getattr(p, "roi", None) and p.roi.get("w", 0) > 0
-                    and (p.roi.get("x", 0) or p.roi.get("y", 0))), None)
+                    if getattr(p, "roi_selected", False)), None)
         self.update("bscan", render_bscan(result.bscandisp, session.ascanat,
                                           roi=roi))
         if result.sub_disp is not None:

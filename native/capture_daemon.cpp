@@ -92,13 +92,22 @@ static void synthetic_frame(std::vector<uint8_t> &buf, uint32_t w, uint32_t h,
 }
 
 static bool read_pgm(const std::string &path, std::vector<uint8_t> &buf,
-                     uint32_t w, uint32_t h) {
+                     uint32_t w, uint32_t h, uint32_t bpp) {
   FILE *f = fopen(path.c_str(), "rb");
   if (!f) return false;
   char magic[3] = {0};
   unsigned pw = 0, ph = 0, maxv = 0;
   if (fscanf(f, "%2s %u %u %u", magic, &pw, &ph, &maxv) != 4 ||
       strcmp(magic, "P5") != 0 || pw != w || ph != h) {
+    fclose(f);
+    return false;
+  }
+  // the file's sample depth must match the ring's: a mismatch would either
+  // half-fill the frame (8-bit file → 16-bit ring: garbage pixels) or
+  // overflow buf (16-bit file → 8-bit ring)
+  if ((maxv > 255) != (bpp > 8)) {
+    fprintf(stderr, "pgm %s: maxval %u does not match ring bpp %u\n",
+            path.c_str(), maxv, bpp);
     fclose(f);
     return false;
   }
@@ -431,7 +440,7 @@ int main(int argc, char **argv) {
       synthetic_frame(buf, w, h, bpp, t, ctrl[CTRL_EXPOSURE_US],
                       ctrl[CTRL_GAIN]);
     } else if (mode == "--pgm") {
-      if (!read_pgm(pgms[t % pgms.size()], buf, w, h)) continue;
+      if (!read_pgm(pgms[t % pgms.size()], buf, w, h, bpp)) continue;
 #ifdef __linux__
     } else if (mode == "--v4l2") {
       if (!cam.grab_y(buf)) break;

@@ -126,5 +126,8 @@ int main() {
   printf("reads=%ld torn=%ld ctrl_polls=%ld ctrl_torn=%ld\n",
          reads.load(), torn.load(), ctrl_polls.load(), ctrl_torn.load());
   unlink(PATH);
-  return (torn.load() == 0 && ctrl_torn.load() == 0) ? 0 : 1;
+  // ctrl_polls must be nonzero or the seqlock stress validated nothing
+  // (a poll-side livelock would otherwise pass as "clean")
+  return (torn.load() == 0 && ctrl_torn.load() == 0 &&
+          reads.load() > 0 && ctrl_polls.load() > 0) ? 0 : 1;
 }

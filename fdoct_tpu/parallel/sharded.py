@@ -10,7 +10,7 @@ Layouts:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +41,13 @@ def _mask_dc_rows_local(bscan_db: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(depth_idx < 2, bscan_db[4:5, :], bscan_db)
 
 
-def _bscan_step_fn(fr, yb, yp, *, calib: Calibration, cfg: PipelineConfig,
+def _bscan_step_fn(fr, yb, yp, calib: Calibration, *, cfg: PipelineConfig,
                    method: str, batch: int):
     """Per-shard body of :func:`sharded_bscan_step` (module-level so the
     scaling harness can lower/compile it standalone to measure collective
-    traffic from the emitted HLO)."""
+    traffic from the emitted HLO).  ``calib`` is a traced argument (its
+    array leaves replicate over the mesh) so the jitted step is cacheable
+    across calls."""
     y = preprocess(fr, cfg)
     yr = apodize_ratio(y, yb, yp, cfg)
     mags = ascan_mags(yr, calib, method)          # (b_loc, h_loc, ndisp)
@@ -60,20 +62,38 @@ def _bscan_step_fn(fr, yb, yp, *, calib: Calibration, cfg: PipelineConfig,
     return db, (disp - gmin) / rng
 
 
+@lru_cache(maxsize=None)
+def _jitted_bscan_step(mesh: Mesh, cfg: PipelineConfig, method: str,
+                       batch: int):
+    fn = shard_map(
+        partial(_bscan_step_fn, cfg=cfg, method=method, batch=batch),
+        mesh=mesh,
+        in_specs=(P("data", "ascan", None), P("ascan", None),
+                  P("ascan", None), P()),   # calib pytree: replicated
+        out_specs=(P(None, "ascan"), P(None, "ascan")),
+    )
+    return jax.jit(fn)
+
+
 def build_bscan_step(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
                      method: str, batch: int):
     """The jitted sharded B-scan step as a callable — shared by
     :func:`sharded_bscan_step`, the scaling harness (which lowers it to
     count collective bytes in the emitted HLO), and the traffic test, so
-    all three see the identical compiled module."""
-    fn = shard_map(
-        partial(_bscan_step_fn, calib=calib, cfg=cfg, method=method,
-                batch=batch),
-        mesh=mesh,
-        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
-        out_specs=(P(None, "ascan"), P(None, "ascan")),
-    )
-    return jax.jit(fn)
+    all three see the identical compiled module.
+
+    The underlying jit object is cached on (mesh, cfg, method, batch) with
+    the calibration passed as a traced (replicated) argument — repeated
+    calls reuse the compiled executable instead of re-tracing (a fresh
+    ``jax.jit(shard_map(...))`` per call compiled EVERY step; measured
+    seconds per call at the flagship shape)."""
+    jfn = _jitted_bscan_step(mesh, cfg, method, batch)
+
+    def step(frames, background, pi_frame):
+        return jfn(frames, background, pi_frame, calib)
+
+    step.lower = lambda fr, yb, yp: jfn.lower(fr, yb, yp, calib)
+    return step
 
 
 def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
@@ -95,13 +115,10 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
                             frames.shape[0])(frames, background, pi_frame)
 
 
-def build_cscan_volume(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
-                       method: str = "fused", gather_full: bool = False):
-    """The jitted sharded C-scan volume assembly as a callable (shared by
-    :func:`sharded_cscan_volume` and the scaling harness's HLO traffic
-    accounting)."""
-
-    def step(fr, yb, yp):
+@lru_cache(maxsize=None)
+def _jitted_cscan_volume(mesh: Mesh, cfg: PipelineConfig, method: str,
+                         gather_full: bool):
+    def step(fr, yb, yp, calib):
         y = preprocess(fr, cfg)
         yr = apodize_ratio(y, yb, yp, cfg)
         mags = ascan_mags(yr, calib, method)              # (f_loc, h_loc, nd)
@@ -114,13 +131,28 @@ def build_cscan_volume(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
     out_spec = P(None, None, None) if gather_full else P("data", None, None)
     fn = shard_map(
         step, mesh=mesh,
-        in_specs=(P("data", "ascan", None), P("ascan", None), P("ascan", None)),
+        in_specs=(P("data", "ascan", None), P("ascan", None),
+                  P("ascan", None), P()),   # calib pytree: replicated
         out_specs=out_spec,
         # all_gather makes the output replicated over the gathered axis; the
         # static varying-axes check cannot infer that, so disable it
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def build_cscan_volume(mesh: Mesh, calib: Calibration, cfg: PipelineConfig,
+                       method: str = "fused", gather_full: bool = False):
+    """The jitted sharded C-scan volume assembly as a callable (shared by
+    :func:`sharded_cscan_volume` and the scaling harness's HLO traffic
+    accounting).  Cached like :func:`build_bscan_step`."""
+    jfn = _jitted_cscan_volume(mesh, cfg, method, gather_full)
+
+    def vol(frames, background, pi_frame):
+        return jfn(frames, background, pi_frame, calib)
+
+    vol.lower = lambda fr, yb, yp: jfn.lower(fr, yb, yp, calib)
+    return vol
 
 
 def sharded_cscan_volume(frames: jnp.ndarray, background: jnp.ndarray,

@@ -125,6 +125,14 @@ class Calibration:
     phase: Any           # (nfft,) dispersion phase φ(k); zeros if unused
     op_re: Any           # (n_raw, ndisp) fused operator, real part
     op_im: Any           # (n_raw, ndisp) fused operator, imag part
+    # int8-quantized operator (per-column symmetric scales) for the
+    # matmul_precision="int8" display path — v5e's int8 MXU peak is ~2x
+    # bf16, and the inputs are camera counts anyway.  None when absent
+    # (e.g. hand-built Calibrations); pipeline falls back to bf16 then.
+    op_re_q: Any = None      # (n_raw, ndisp) int8
+    op_im_q: Any = None      # (n_raw, ndisp) int8
+    op_scale_re: Any = None  # (ndisp,) f32 per-column dequant scale
+    op_scale_im: Any = None  # (ndisp,) f32
 
     @classmethod
     def create(cls, cfg: PipelineConfig, dtype: Any = None) -> "Calibration":
@@ -172,6 +180,18 @@ class Calibration:
             F = np.exp(1j * phase)[:, None] * F
         M = X.astype(complex) @ F  # (opw, ndisp)
 
+        # int8 quantization of the operator, symmetric per output column
+        # (the contracted axis stays full precision in the f32 accumulator;
+        # per-ROW input scales are computed dynamically in the pipeline).
+        def _quant_cols(A: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            s = np.abs(A).max(axis=0) / 127.0
+            s = np.where(s == 0.0, 1.0, s)
+            q = np.clip(np.rint(A / s), -127, 127).astype(np.int8)
+            return q, s.astype(np.float32)
+
+        q_re, s_re = _quant_cols(M.real)
+        q_im, s_im = _quant_cols(M.imag)
+
         as_dev = lambda a: jnp.asarray(a, dtype=dtype)
         return cls(
             n_raw=opw, n_in=n_in, nfft=nfft, ndisp=ndisp, mult=mult,
@@ -186,4 +206,8 @@ class Calibration:
             phase=as_dev(phase),
             op_re=as_dev(M.real),
             op_im=as_dev(M.imag),
+            op_re_q=jnp.asarray(q_re),
+            op_im_q=jnp.asarray(q_im),
+            op_scale_re=jnp.asarray(s_re),
+            op_scale_im=jnp.asarray(s_im),
         )

@@ -95,7 +95,9 @@ class PipelineConfig:
     dtype: str = "float32"          # compute dtype on device
     compat: bool = True             # bit-compatible reference semantics
     matmul_precision: str = "default"  # "default" (TPU bf16 passes, ~1e-3
-    # rel, fastest) | "highest" (f32-exact, ~2x slower on TPU)
+    # rel, fastest) | "highest" (f32-exact, ~2x slower on TPU) | "bf16"
+    # (force the TPU-default branch on any backend) | "int8" (quantized
+    # display mode on the int8 MXU path; see pipeline._op_matmul_pair_int8)
     window: str = "barthann"        # apodization window kind (ops.windows)
     simcopyto: bool = False         # strict-compat: emulate the simulator's
     # copyTo-instead-of-accumulate averaging slot (BscanFFTsim.cpp:940-941):

@@ -104,7 +104,10 @@ def ascan_mags_fused(yr: jnp.ndarray, calib: Calibration,
     relative vs the FFT path — ~0.01 dB, display-invisible); 'highest'
     forces f32-exact accumulation at ~2x matmul cost; 'bf16' forces the
     explicit-bf16-operand branch on any backend (what 'default' resolves
-    to on TPU) so the production numeric path is testable on CPU.
+    to on TPU) so the production numeric path is testable on CPU; 'int8'
+    uses the quantized operator on the int8 MXU path (~2x bf16 peak on
+    v5e) with dynamically per-row-quantized inputs — a display mode, see
+    _op_matmul_pair_int8.
 
     In the f32/'default' production configuration the operands are cast to
     bfloat16 explicitly (f32 accumulation via preferred_element_type).
@@ -128,7 +131,9 @@ def _op_matmul_pair(yr: jnp.ndarray, calib: Calibration,
                     precision: str) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The (re, im) operator matmuls with one precision policy for every
     consumer, so |ascan_complex(yr)| always matches ascan_mags_fused(yr)."""
-    use_bf16 = precision == "bf16" or (
+    if precision == "int8" and calib.op_re_q is not None:
+        return _op_matmul_pair_int8(yr, calib)
+    use_bf16 = precision in ("bf16", "int8") or (
         precision != "highest" and yr.dtype == jnp.float32
         and jax.default_backend() == "tpu")
     if use_bf16 and yr.dtype == jnp.float32:
@@ -144,6 +149,34 @@ def _op_matmul_pair(yr: jnp.ndarray, calib: Calibration,
                     precision=prec)
     im = jnp.matmul(yr, calib.op_im, preferred_element_type=yr.dtype,
                     precision=prec)
+    return re, im
+
+
+def _op_matmul_pair_int8(yr: jnp.ndarray,
+                         calib: Calibration) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 MXU display path: s8 x s8 -> s32 matmuls against the quantized
+    operator (v5e int8 peak is ~2x bf16).
+
+    The input is quantized dynamically per A-scan row with a symmetric
+    scale.  Because the operator M already contains the per-row DC-removal
+    projector (I - 1.1^T/n) as its first factor (calibration.Calibration),
+    ``yr @ M == (yr - mean(yr)) @ M`` exactly — so the row mean is
+    subtracted BEFORE quantization, shrinking the dynamic range from
+    DC~1 +- fringes to fringes alone and buying several effective bits.
+    Accuracy is characterized and pinned by
+    tests/test_precision.py::test_int8_branch_display_equivalent."""
+    f32 = jnp.float32
+    y0 = yr.astype(f32)
+    y0 = y0 - jnp.mean(y0, axis=-1, keepdims=True)
+    s_in = jnp.max(jnp.abs(y0), axis=-1, keepdims=True) / 127.0
+    s_in = jnp.maximum(s_in, jnp.finfo(f32).tiny)
+    q = jnp.round(y0 / s_in).astype(jnp.int8)
+    acc_re = jnp.matmul(q, calib.op_re_q, preferred_element_type=jnp.int32)
+    acc_im = jnp.matmul(q, calib.op_im_q, preferred_element_type=jnp.int32)
+    re = acc_re.astype(f32) * (s_in * calib.op_scale_re)
+    im = acc_im.astype(f32) * (s_in * calib.op_scale_im)
+    if yr.dtype != f32:
+        re, im = re.astype(yr.dtype), im.astype(yr.dtype)
     return re, im
 
 

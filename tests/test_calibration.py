@@ -141,6 +141,6 @@ class TestFusedOperator:
         import jax
         calib = Calibration.create(cfg)
         leaves = jax.tree_util.tree_leaves(calib)
-        assert len(leaves) == 9  # all array fields
+        assert len(leaves) == 13  # all array fields (incl. int8 operator)
         # static fields must be hashable trace-time constants
         jax.jit(lambda c: c.window * 2)(calib)

@@ -95,6 +95,52 @@ class TestMatmulPrecisionKnob:
         assert d[signal].max() < 0.1, d[signal].max()   # display-invisible
         assert d.max() < 4.0, d.max()      # noise floor bounded
 
+    def test_int8_branch_display_equivalent(self, data):
+        """matmul_precision='int8' (the s8 x s8 -> s32 MXU display path)
+        must stay display-equivalent on signal.  The key design point it
+        pins: because M contains the DC-removal projector, the pipeline
+        subtracts the row mean BEFORE quantization, so the int8 range
+        covers fringes only — measured signal error 0.085 dB (< the 0.1 dB
+        bf16 bound); the noise floor >= 30 dB down may move a few dB,
+        clamped by any practical display threshold."""
+        import jax.numpy as jnp
+
+        cfg, frames, bg = data
+
+        def bscan_db(cfgx, dtype, method):
+            calib = Calibration.create(cfgx.replace(dtype=dtype), dtype=dtype)
+            mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg, dtype),
+                               jnp.asarray(np.zeros_like(bg), dtype), calib,
+                               cfgx.replace(dtype=dtype), method=method)
+            return np.asarray(form_bscan(mags.sum(0), cfgx, 4).bscandb)
+
+        ref_db = bscan_db(cfg, "float64", "gather")
+        i8_db = bscan_db(cfg.replace(matmul_precision="int8"),
+                         "float32", "fused")
+        d = np.abs(ref_db - i8_db)
+        signal = ref_db > ref_db.max() - 30.0
+        assert signal.sum() > 100
+        assert d[signal].max() < 0.15, d[signal].max()  # display-invisible
+        assert d.max() < 8.0, d.max()                   # noise floor bounded
+
+    def test_int8_without_tables_falls_back(self, data):
+        """A Calibration without quantized tables (hand-built pytrees) must
+        silently take the bf16 branch under precision='int8'."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        from fdoct_tpu.pipeline import ascan_mags_fused
+
+        cfg, frames, bg = data
+        cfg32 = cfg.replace(dtype="float32")
+        calib = Calibration.create(cfg32, dtype="float32")
+        bare = dataclasses.replace(calib, op_re_q=None, op_im_q=None,
+                                   op_scale_re=None, op_scale_im=None)
+        yr = jnp.asarray(frames[0], jnp.float32) / 255.0
+        a = np.asarray(ascan_mags_fused(yr, bare, "int8"))
+        b = np.asarray(ascan_mags_fused(yr, calib, "bf16"))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
     def test_bf16_complex_matches_magnitude(self, data):
         """|ascan_complex| must equal ascan_mags_fused at every precision —
         the two share _op_matmul_pair (phase-resolved consumers cross-check
@@ -110,7 +156,7 @@ class TestMatmulPrecisionKnob:
         y = preprocess(jnp.asarray(frames[0]), cfg32)
         yr = apodize_ratio(y, jnp.asarray(bg, jnp.float32),
                            jnp.zeros_like(y), cfg32)
-        for prec in ("default", "bf16", "highest"):
+        for prec in ("default", "bf16", "highest", "int8"):
             mags = np.asarray(ascan_mags_fused(yr, calib, prec))
             cplx = np.asarray(jnp.abs(ascan_complex(yr, calib, prec)))
             # same matmuls by construction; |z| may use hypot vs sqrt

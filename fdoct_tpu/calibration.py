@@ -183,14 +183,23 @@ class Calibration:
         # int8 quantization of the operator, symmetric per output column
         # (the contracted axis stays full precision in the f32 accumulator;
         # per-ROW input scales are computed dynamically in the pipeline).
-        def _quant_cols(A: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            s = np.abs(A).max(axis=0) / 127.0
-            s = np.where(s == 0.0, 1.0, s)
-            q = np.clip(np.rint(A / s), -127, 127).astype(np.int8)
-            return q, s.astype(np.float32)
+        # Built only when the config asks for the int8 path: the tables cost
+        # ~2 x n_raw x ndisp device bytes per calibration and replicate to
+        # every device in the sharded paths; pipeline._op_matmul_pair
+        # falls back to bf16 when they are None.  (matmul_precision
+        # "int8_direct" quantizes its own folded operator in
+        # fdoct_tpu.int8direct and does not need these.)
+        if cfg.matmul_precision == "int8":
+            def _quant_cols(A: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                s = np.abs(A).max(axis=0) / 127.0
+                s = np.where(s == 0.0, 1.0, s)
+                q = np.clip(np.rint(A / s), -127, 127).astype(np.int8)
+                return q, s.astype(np.float32)
 
-        q_re, s_re = _quant_cols(M.real)
-        q_im, s_im = _quant_cols(M.imag)
+            q_re, s_re = _quant_cols(M.real)
+            q_im, s_im = _quant_cols(M.imag)
+        else:
+            q_re = s_re = q_im = s_im = None
 
         as_dev = lambda a: jnp.asarray(a, dtype=dtype)
         return cls(
@@ -206,8 +215,8 @@ class Calibration:
             phase=as_dev(phase),
             op_re=as_dev(M.real),
             op_im=as_dev(M.imag),
-            op_re_q=jnp.asarray(q_re),
-            op_im_q=jnp.asarray(q_im),
-            op_scale_re=jnp.asarray(s_re),
-            op_scale_im=jnp.asarray(s_im),
+            op_re_q=None if q_re is None else jnp.asarray(q_re),
+            op_im_q=None if q_im is None else jnp.asarray(q_im),
+            op_scale_re=None if s_re is None else jnp.asarray(s_re),
+            op_scale_im=None if s_im is None else jnp.asarray(s_im),
         )

@@ -98,6 +98,10 @@ class PipelineConfig:
     # rel, fastest) | "highest" (f32-exact, ~2x slower on TPU) | "bf16"
     # (force the TPU-default branch on any backend) | "int8" (quantized
     # display mode on the int8 MXU path; see pipeline._op_matmul_pair_int8)
+    # | "int8_direct" (fastest display mode: background/pi folded into the
+    # quantized operator, zero elementwise work on the input — honored by
+    # Session and the bench paths that carry an int8direct.Int8DirectPlan;
+    # generic reconstruct() calls fall back to bf16)
     window: str = "barthann"        # apodization window kind (ops.windows)
     simcopyto: bool = False         # strict-compat: emulate the simulator's
     # copyTo-instead-of-accumulate averaging slot (BscanFFTsim.cpp:940-941):
@@ -159,6 +163,11 @@ class PipelineConfig:
             errs.append("numfftpoints must be >= 2 and averages >= 1")
         if self.increasefftpointsmultiplier < 1:
             errs.append("increasefftpointsmultiplier must be >= 1")
+        if self.matmul_precision not in (
+                "default", "highest", "bf16", "int8", "int8_direct"):
+            errs.append(
+                f"matmul_precision {self.matmul_precision!r} not one of "
+                "default/highest/bf16/int8/int8_direct")
         if errs:
             raise ValueError("; ".join(errs))
         return self

@@ -50,7 +50,11 @@ def _bscan_step_fn(fr, yb, yp, calib: Calibration, *, cfg: PipelineConfig,
     across calls."""
     y = preprocess(fr, cfg)
     yr = apodize_ratio(y, yb, yp, cfg)
-    mags = ascan_mags(yr, calib, method)          # (b_loc, h_loc, ndisp)
+    # cfg.matmul_precision threads through so the mesh path computes the
+    # same numbers as the single-chip path (int8_direct folds per-device
+    # plans elsewhere; here it degrades like pipeline._op_matmul_pair)
+    mags = ascan_mags(yr, calib, method,
+                      cfg.matmul_precision)       # (b_loc, h_loc, ndisp)
     group = lax.psum(jnp.sum(mags, axis=0), "data")
     bscan = group.T / batch + 1e-5                # (ndisp, h_loc)
     db = to_db(bscan, eps=0.0, compat=cfg.compat)
@@ -121,7 +125,8 @@ def _jitted_cscan_volume(mesh: Mesh, cfg: PipelineConfig, method: str,
     def step(fr, yb, yp, calib):
         y = preprocess(fr, cfg)
         yr = apodize_ratio(y, yb, yp, cfg)
-        mags = ascan_mags(yr, calib, method)              # (f_loc, h_loc, nd)
+        mags = ascan_mags(yr, calib, method,
+                          cfg.matmul_precision)           # (f_loc, h_loc, nd)
         mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
         vol = jnp.swapaxes(mags, 1, 2)                    # (f_loc, nd, H)
         if gather_full:

@@ -131,9 +131,14 @@ def _op_matmul_pair(yr: jnp.ndarray, calib: Calibration,
                     precision: str) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The (re, im) operator matmuls with one precision policy for every
     consumer, so |ascan_complex(yr)| always matches ascan_mags_fused(yr)."""
-    if precision == "int8" and calib.op_re_q is not None:
+    # "int8_direct" is honored only by callers that carry an
+    # int8direct.Int8DirectPlan (Session, bench); through this generic
+    # entry point — where the background is a traced per-call argument and
+    # cannot be folded — it degrades to the int8 tables when present, else
+    # the bf16 branch.
+    if precision in ("int8", "int8_direct") and calib.op_re_q is not None:
         return _op_matmul_pair_int8(yr, calib)
-    use_bf16 = precision in ("bf16", "int8") or (
+    use_bf16 = precision in ("bf16", "int8", "int8_direct") or (
         precision != "highest" and yr.dtype == jnp.float32
         and jax.default_backend() == "tpu")
     if use_bf16 and yr.dtype == jnp.float32:
@@ -186,7 +191,15 @@ def ascan_complex(yr: jnp.ndarray, calib: Calibration,
     operator's (re, im) pair before the magnitude.  No reference equivalent
     (the reference discards phase at BscanFFT.cpp:1190); exposed because
     the fused path computes it for free.  Shares ``_op_matmul_pair`` with
-    ascan_mags_fused so the two paths agree bit-for-bit at any precision."""
+    ascan_mags_fused so the two paths agree bit-for-bit at any precision.
+
+    Precision caveat: only MAGNITUDE accuracy is characterized for the
+    quantized modes (tests/test_precision.py pins 'int8' display
+    equivalence).  Under 'int8' the re/im channels carry independent
+    per-column scales and input quantization noise, so the PHASE error is
+    unbounded at low-SNR depths — phase-resolved consumers (Doppler,
+    vibrometry phase) should use 'default'/'bf16'/'highest'; the shipped
+    Doppler callers do."""
     re, im = _op_matmul_pair(yr, calib, precision)
     return jax.lax.complex(re, im)
 

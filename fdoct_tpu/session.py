@@ -129,6 +129,11 @@ class Session:
         # raw interferograms for the save-after-the-fact story
         self._rings = {0: {"bscan": [], "raw": [], "binned": []},
                        1: {"bscan": [], "raw": [], "binned": []}}
+        # int8-direct display path (cfg.matmul_precision="int8_direct"):
+        # plan cache keyed on the identity of the calibration frames — any
+        # 'b'/'p'/'o'/'r'/'t' capture rebinds data_yb/yp/yd and invalidates
+        self._i8key: tuple | None = None
+        self._i8plan = None
         self.plugins: list[Any] = []
         self.status: list[str] = []
         # 5-second fps + frame max-intensity meter (the reference's Status
@@ -370,6 +375,42 @@ class Session:
             self._say(f"fps = {reading:.0f}  Max Intensity = "
                       f"{self.max_intensity}")
 
+    def _use_int8_direct(self, raw) -> bool:
+        """Whether this frame can ride the int8-direct MXU display path
+        (cfg.matmul_precision="int8_direct"; fdoct_tpu.int8direct): the
+        frame→magnitudes map must be affine in exact 8-bit counts."""
+        if self.cfg.matmul_precision != "int8_direct" or self.method != "fused":
+            return False
+        if getattr(raw, "dtype", None) != np.uint8 or raw.ndim != 2:
+            return False
+        if self.jlockin:
+            return False  # subtraction path reuses the f32 chain untouched
+        from fdoct_tpu.int8direct import int8_direct_supported
+        return int8_direct_supported(self.cfg)[0]
+
+    def _int8_plan(self):
+        """Int8DirectPlan for the current calibration frames, rebuilt only
+        when a capture rebinds data_yb / data_yp / data_yd (the arrays are
+        immutable jnp values held by self, so identity is a valid key)."""
+        key = (id(self.data_yb), id(self.data_yp), id(self.data_yd))
+        if self._i8key != key:
+            from fdoct_tpu.int8direct import Int8DirectPlan
+            dark = (np.asarray(self.data_yd)
+                    if self.variant == "dark" else None)
+            self._i8plan = Int8DirectPlan.create(
+                self.calib, self.cfg, np.asarray(self.data_yb),
+                np.asarray(self.data_yp), dark)
+            self._i8key = key
+            resid = float(self._i8plan.bg_rank1_resid)
+            if resid > 0.02:
+                # accuracy law (tests/test_int8direct.py): the rank-1
+                # residual of the background bounds int8_direct fidelity;
+                # a noisy capture degrades it — average more frames
+                self._say(f"int8_direct: background rank-1 residual "
+                          f"{resid:.3f} is high; display accuracy degrades "
+                          f"(average more background frames)")
+        return self._i8plan
+
     def process(self, raw: np.ndarray) -> BscanResult | None:
         cfg = self.cfg
         self._tick_fps(raw)
@@ -392,9 +433,16 @@ class Session:
         self._handle_captures(raw, y)
 
         # apodize + A-scan magnitudes
-        yw = y - self.data_yd if self.variant == "dark" else y  # BscanDark.cpp:1269
-        yr = apodize_ratio(yw, self.data_yb, self.data_yp, cfg)
-        mags = ascan_mags(yr, self.calib, self.method, cfg.matmul_precision)
+        if self._use_int8_direct(raw):
+            from fdoct_tpu.int8direct import (reconstruct_int8_direct,
+                                              shift_u8_to_s8)
+            mags = reconstruct_int8_direct(
+                shift_u8_to_s8(jnp.asarray(raw)), self._int8_plan())
+        else:
+            yw = y - self.data_yd if self.variant == "dark" else y  # BscanDark.cpp:1269
+            yr = apodize_ratio(yw, self.data_yb, self.data_yp, cfg)
+            mags = ascan_mags(yr, self.calib, self.method,
+                              cfg.matmul_precision)
 
         # accumulate (BscanFFT.cpp:1193-1209)
         if self.variant == "sim" and cfg.simcopyto:
@@ -460,11 +508,17 @@ class Session:
         self._tick_fps(frames[-1], n=n)
         groups = n // avg
         # the live app's log guard; strict-sim (1e-6) is excluded above
-        outs = _session_group_pipeline(
-            jnp.asarray(frames), self.data_yb, self.data_yp, self.data_yd,
-            jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
-            self.calib, cfg, groups, avg, self.method,
-            self.variant == "dark", eps=1e-5)
+        if self._use_int8_direct(frames[0]):
+            outs = _session_group_pipeline_int8(
+                jnp.asarray(frames), self._int8_plan(),
+                jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
+                cfg, groups, avg, eps=1e-5)
+        else:
+            outs = _session_group_pipeline(
+                jnp.asarray(frames), self.data_yb, self.data_yp, self.data_yd,
+                jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
+                self.calib, cfg, groups, avg, self.method,
+                self.variant == "dark", eps=1e-5)
         # only the uint8 display image transfers to host eagerly (what the
         # viewer consumes); the linear/dB stacks stay device-resident and
         # materialize lazily if a plugin or caller touches them — the hot
@@ -735,6 +789,25 @@ def _session_group_pipeline(raw, yb, yp, yd, threshold, calib, cfg,
         y = y - yd                      # BscanDark.cpp:1269
     yr = apodize_ratio(y, yb, yp, cfg)
     mags = ascan_mags(yr, calib, method, cfg.matmul_precision)
+    msum = mags.reshape((groups, averages) + mags.shape[1:]).sum(axis=1)
+    return jax.vmap(
+        lambda m: form_bscan(m, cfg, averages, bscanthreshold=threshold,
+                             eps=eps))(msum)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "groups", "averages", "eps"))
+def _session_group_pipeline_int8(raw_u8, plan, threshold, cfg,
+                                 groups, averages, eps):
+    """int8-direct batched group pipeline: two s8 MXU matmuls per batch
+    straight from the raw u8 frames (device-side bias shift), then the
+    vmapped display chain.  The background/pi/dark frames live folded
+    inside ``plan`` (fdoct_tpu.int8direct.Int8DirectPlan); measured 1.67x
+    the f32 fused path on v5e (BENCH.md round 3)."""
+    from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
+    from fdoct_tpu.pipeline import form_bscan
+
+    mags = reconstruct_int8_direct(shift_u8_to_s8(raw_u8), plan)
     msum = mags.reshape((groups, averages) + mags.shape[1:]).sum(axis=1)
     return jax.vmap(
         lambda m: form_bscan(m, cfg, averages, bscanthreshold=threshold,

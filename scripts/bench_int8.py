@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""TPU A/B: f32 fused path vs the int8-direct plan path (fdoct_tpu.int8direct)
+at the flagship bench shape, with ON-CHIP display-equivalence.
+
+Timing uses the repo's honest differenced-scan methodology (see bench.py):
+through the dev tunnel block_until_ready does not wait, so completion is
+forced with a scalar fetch and two scan lengths are differenced so tunnel
+RTT cancels.  Frames are generated on-device.
+
+Display equivalence is characterized on the REAL device path (VERDICT r2
+weak-2): both pipelines run to the uint8 bscandisp image on-chip with a
+realistic (non-rank-1) background + nonzero pi frame, and the report is the
+distribution of uint8 pixel differences.
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+ROWS, COLS, NFFT, NDISP, BATCH = 512, 2048, 2048, 512, 8
+G1, G2 = 64, 256
+REPEATS = 6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.int8direct import (
+        Int8DirectPlan, reconstruct_int8_direct, shift_u8_to_s8, to_s8)
+    from fdoct_tpu.pipeline import form_bscan, reconstruct
+
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg = PipelineConfig(
+        width=COLS, height=ROWS, binvalue=1, averages=BATCH,
+        numfftpoints=NFFT, numdisplaypoints=NDISP,
+        lambdamin=816e-9, lambdamax=884e-9, dtype="float32", compat=True)
+    calib = Calibration.create(cfg)
+
+    # realistic calibration frames: Gaussian source spectrum x per-row gain
+    # + 1% multiplicative noise (NOT rank-1), nonzero pi frame
+    rng = np.random.default_rng(0)
+    lam = np.linspace(0, 1, COLS)
+    spec = np.exp(-(((lam - 0.5) / 0.18) ** 2)) * 180.0 + 12.0
+    gain = 1.0 + 0.05 * np.sin(np.linspace(0, 3, ROWS))
+    bg_np = gain[:, None] * spec[None, :] * (
+        1 + 0.01 * rng.standard_normal((ROWS, COLS)))
+    pi_np = rng.uniform(0.0, 10.0, (ROWS, COLS))
+    bg = jnp.asarray(bg_np, jnp.float32)
+    pi = jnp.asarray(pi_np, jnp.float32)
+
+    plan = Int8DirectPlan.create(calib, cfg, bg_np, pi_np)
+    print(f"plan: bg rank-1 residual {float(plan.bg_rank1_resid):.3e}",
+          flush=True)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_u8(g):
+        return jax.random.randint(
+            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
+            jnp.int32).astype(jnp.uint8)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_s8(g):
+        # same logical frames, bias-shifted (what the ring delivers)
+        return (jax.random.randint(
+            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
+            jnp.int32) - 128).astype(jnp.int8)
+
+    def timeit(name, run, gen):
+        try:
+            ts = {}
+            for g in (G1, G2):
+                fr = gen(g)
+                fr.block_until_ready()
+                t0 = time.perf_counter()
+                float(run(fr))
+                if g == G1:
+                    print(f"[{name}] compiled in "
+                          f"{time.perf_counter()-t0:.1f}s", flush=True)
+                samples = []
+                for _ in range(REPEATS):
+                    t0 = time.perf_counter()
+                    float(run(fr))
+                    samples.append(time.perf_counter() - t0)
+                ts[g] = float(np.median(samples))
+            per = (ts[G2] - ts[G1]) / (G2 - G1)
+            print(f"[{name}] {per*1e3:.3f} ms/group = "
+                  f"{BATCH*ROWS/per/1e6:.2f} M ascans/s "
+                  f"(median of {REPEATS})", flush=True)
+            return per
+        except Exception as e:
+            print(f"[{name}] FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:300]}", flush=True)
+            return None
+
+    def f32_group(fr):
+        return reconstruct(fr, bg, pi, calib, cfg, method="fused").sum(axis=0)
+
+    def int8_group(fr):
+        return reconstruct_int8_direct(fr, plan).sum(axis=0)
+
+    def int8_group_u8(fr):
+        return reconstruct_int8_direct(shift_u8_to_s8(fr), plan).sum(axis=0)
+
+    @jax.jit
+    def run_f32(all_fr):
+        def step(c, fr):
+            return c + f32_group(fr).sum(), 0.0
+        return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
+
+    @jax.jit
+    def run_int8(all_fr):
+        def step(c, fr):
+            return c + int8_group(fr).sum(), 0.0
+        return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
+
+    @jax.jit
+    def run_int8_u8(all_fr):
+        def step(c, fr):
+            return c + int8_group_u8(fr).sum(), 0.0
+        return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
+
+    per_f32 = timeit("f32_fused", run_f32, gen_u8)
+    per_i8 = timeit("int8_direct_s8", run_int8, gen_s8)
+    per_i8u = timeit("int8_direct_u8shift", run_int8_u8, gen_u8)
+
+    if per_f32 and per_i8:
+        print(f"speedup int8_direct vs f32: {per_f32/per_i8:.2f}x", flush=True)
+    if per_f32 and per_i8u:
+        print(f"speedup u8-shift variant vs f32: {per_f32/per_i8u:.2f}x",
+              flush=True)
+
+    # ---- ON-CHIP display equivalence (uint8 bscandisp) ----
+    one_u8 = gen_u8(1)[0]
+    one_s8 = jnp.asarray(to_s8(np.asarray(one_u8)))
+
+    @jax.jit
+    def disp_f32(fr):
+        m = f32_group(fr)
+        return form_bscan(m, cfg, averages=BATCH).bscandisp
+
+    @jax.jit
+    def disp_i8(fr):
+        m = int8_group(fr)
+        return form_bscan(m, cfg, averages=BATCH).bscandisp
+
+    a = np.asarray(disp_f32(one_u8)).astype(np.int32)
+    b = np.asarray(disp_i8(one_s8)).astype(np.int32)
+    d = np.abs(a - b)
+    print(f"on-chip display diff (uint8 levels): max {d.max()}, "
+          f"mean {d.mean():.4f}, >1 level: {(d > 1).mean()*100:.3f}% of px, "
+          f">2: {(d > 2).mean()*100:.4f}%", flush=True)
+
+    # magnitude-domain relative error on-chip
+    ma = np.asarray(jax.jit(f32_group)(one_u8))
+    mb = np.asarray(jax.jit(int8_group)(one_s8))
+    err = np.abs(ma - mb).max() / (np.abs(ma).max() + 1e-9)
+    print(f"on-chip magnitude max rel err: {err:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

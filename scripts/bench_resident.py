@@ -94,11 +94,14 @@ def main() -> None:
     ref = timeit("xla_fused_f32", xla_group)
 
     # int8 MXU display path (matmul_precision="int8"): quantized operator,
-    # per-row dynamically quantized input (DC removed pre-quantization)
+    # per-row dynamically quantized input (DC removed pre-quantization).
+    # The quantized tables are only materialized when the config asks, so
+    # build a dedicated calibration for this path.
     cfg8 = cfg.replace(matmul_precision="int8")
+    calib8 = Calibration.create(cfg8)
 
     def xla_int8_group(fr):
-        return reconstruct(fr, bg, pi, calib, cfg8, method="fused").sum(axis=0)
+        return reconstruct(fr, bg, pi, calib8, cfg8, method="fused").sum(axis=0)
 
     # elementwise oracle on ONE group: catches row/tile permutations and
     # cancelling errors that a scalar-sum check would miss
@@ -125,75 +128,21 @@ def main() -> None:
     check_elementwise("xla_int8", xla_int8_group)
     check("xla_int8", timeit("xla_int8", xla_int8_group))
 
-    # direct-s8 prototype: the ring delivers bias-shifted s8 camera counts
-    # (raw - 128); the spectral shape of the rank-1 background folds into
-    # the quantized operator, the row gain applies on the small output, and
-    # the -128 shift contributes a precomputed constant output row.  Zero
-    # elementwise work on the big input: s8 x s8 -> s32 straight from HBM.
-    op_q_re = np.asarray(calib.op_re_q)
-    op_q_im = np.asarray(calib.op_im_q)
-    s_re = jnp.asarray(calib.op_scale_re) / 128.0   # fold the 1/128 bg ratio
-    s_im = jnp.asarray(calib.op_scale_im) / 128.0
-    shift_re = jnp.asarray(
-        128.0 * np.asarray(calib.op_re).sum(axis=0), jnp.float32) / 128.0
-    shift_im = jnp.asarray(
-        128.0 * np.asarray(calib.op_im).sum(axis=0), jnp.float32) / 128.0
-    oq_re, oq_im = jnp.asarray(op_q_re), jnp.asarray(op_q_im)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def gen_frames_s8(g):
-        key = jax.random.PRNGKey(0)
-        return (jax.random.randint(
-            key, (g, BATCH, ROWS, COLS), 0, 255, jnp.int32) - 128
-        ).astype(jnp.int8)
-
-    frames_s8 = {g: gen_frames_s8(g) for g in (G1, G2)}
-    for f in frames_s8.values():
-        f.block_until_ready()
+    # int8-direct production path (fdoct_tpu.int8direct): background folded
+    # into the quantized operator, zero elementwise work on the big input.
+    # The full A/B + on-chip display characterization lives in
+    # scripts/bench_int8.py; this row keeps the resident-bench comparable.
+    from fdoct_tpu.int8direct import (Int8DirectPlan, reconstruct_int8_direct,
+                                      shift_u8_to_s8)
+    cfgd = cfg.replace(matmul_precision="int8_direct")
+    plan = Int8DirectPlan.create(
+        calib, cfgd, np.full((ROWS, COLS), 128.0), np.zeros((ROWS, COLS)))
 
     def int8_direct_group(fr):
-        z = fr.reshape(BATCH * ROWS, COLS)
-        re = jnp.matmul(z, oq_re, preferred_element_type=jnp.int32
-                        ).astype(jnp.float32) * s_re + shift_re
-        im = jnp.matmul(z, oq_im, preferred_element_type=jnp.int32
-                        ).astype(jnp.float32) * s_im + shift_im
-        mag = jnp.sqrt(re * re + im * im)
-        return mag.reshape(BATCH, ROWS, NDISP).sum(axis=0)
+        return reconstruct_int8_direct(shift_u8_to_s8(fr), plan).sum(axis=0)
 
-    # oracle vs the f32 path on the SAME logical frames (u8 = s8 + 128)
-    try:
-        one_s8 = frames_s8[G1][0]
-        ref8 = np.asarray(jax.jit(xla_group)(
-            (one_s8.astype(jnp.int32) + 128).astype(jnp.uint8)))
-        out8 = np.asarray(jax.jit(int8_direct_group)(one_s8))
-        err = np.abs(out8 - ref8).max() / (np.abs(ref8).max() + 1e-9)
-        print(f"[int8_direct] elementwise max rel err vs xla_fused: "
-              f"{err:.3e} ({'ok' if err < 5e-2 else 'MISMATCH'})", flush=True)
-    except Exception as e:
-        print(f"[int8_direct] oracle FAILED: {e}", flush=True)
-
-    @jax.jit
-    def run_direct(all_raw):
-        def step(c, fr):
-            return c + int8_direct_group(fr).sum(), 0.0
-        return jax.lax.scan(step, jnp.float32(0), all_raw)[0]
-
-    try:
-        print("[int8_direct] compiling...", flush=True)
-        float(run_direct(frames_s8[G1])); float(run_direct(frames_s8[G2]))
-        ts = {}
-        for g in (G1, G2):
-            best = float("inf")
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                float(run_direct(frames_s8[g]))
-                best = min(best, time.perf_counter() - t0)
-            ts[g] = best
-        per = (ts[G2] - ts[G1]) / (G2 - G1)
-        print(f"[int8_direct] {per*1e3:.3f} ms/group = "
-              f"{BATCH*ROWS/per/1e6:.2f} M ascans/s", flush=True)
-    except Exception as e:
-        print(f"[int8_direct] FAILED: {e}", flush=True)
+    check_elementwise("int8_direct", int8_direct_group)
+    check("int8_direct", timeit("int8_direct", int8_direct_group))
 
     if "--quick" in sys.argv:   # xla paths only (fast TPU A/B through the tunnel)
         return

@@ -141,6 +141,10 @@ class TestFusedOperator:
         import jax
         calib = Calibration.create(cfg)
         leaves = jax.tree_util.tree_leaves(calib)
-        assert len(leaves) == 13  # all array fields (incl. int8 operator)
+        # 9 array fields; the int8 operator tables are None unless
+        # cfg.matmul_precision == "int8" (they cost replicated device bytes)
+        assert len(leaves) == 9
+        calib8 = Calibration.create(cfg.replace(matmul_precision="int8"))
+        assert len(jax.tree_util.tree_leaves(calib8)) == 13
         # static fields must be hashable trace-time constants
         jax.jit(lambda c: c.window * 2)(calib)

@@ -49,6 +49,7 @@ def _make_source(args, cfg):
         # the device, this process owns the TPU
         from fdoct_tpu.sources.camera import CameraSource
         spec = getattr(args, "camera_daemon", "synthetic")
+        daemon_exe = "capture_daemon"
         if spec == "none":
             daemon_args = None
         elif spec == "synthetic":
@@ -57,12 +58,38 @@ def _make_source(args, cfg):
             daemon_args = ["--pgm", spec[4:]]
         elif spec.startswith("v4l2:"):
             daemon_args = ["--v4l2", spec[5:]]
+        elif spec == "qhy":
+            daemon_args, daemon_exe = ["--qhy"], "capture_daemon_qhy"
+        elif spec == "spinnaker":
+            daemon_args, daemon_exe = ["--spinnaker"], "capture_daemon_spin"
         else:
             raise SystemExit(f"unknown --camera-daemon {spec!r}")
+        if daemon_args is not None:
+            # acquisition geometry from the ini reaches the SDK init chain
+            # (QHY SetQHYCCDResolution + CONTROL_USBTRAFFIC/SPEED,
+            # BscanFFT.cpp:808-871; Spinnaker OffsetX/Y, Width/Height,
+            # PixelFormat, AcquisitionFrameRate, BscanFFTspin.cpp:824-1015)
+            daemon_args = daemon_args + [
+                "--offsetx", str(cfg.offsetx), "--offsety", str(cfg.offsety),
+                "--cambinx", str(cfg.cambinx), "--cambiny", str(cfg.cambiny),
+                "--camspeed", str(cfg.camspeed),
+                "--usbtraffic", str(cfg.usbtraffic),
+                "--exposure", str(cfg.exposure_us), "--gain", str(cfg.gain)]
+            trig = getattr(args, "trigger", "none")
+            if trig in ("sw", "hw"):
+                daemon_args += ["--trigger", trig]
+        trig = getattr(args, "trigger", "none")
         src = CameraSource(args.camera, daemon_args=daemon_args,
                            width=cfg.width, height=cfg.height,
                            bpp=16 if cfg.bpp > 8 else 8,
-                           fps=getattr(args, "camera_fps", 100.0))
+                           fps=getattr(args, "camera_fps", 100.0),
+                           daemon_exe=daemon_exe,
+                           # triggered capture must collect EVERY pulse's
+                           # frame (in-order reads); live view wants the
+                           # newest (frame-skip)
+                           sequential=trig in ("sw", "hw"),
+                           initial_ctrl={"exposure": cfg.exposure_us,
+                                         "gain": cfg.gain})
         _open_sources.append(src)
         return src
     if getattr(args, "image", None):
@@ -658,9 +685,14 @@ def build_parser() -> argparse.ArgumentParser:
                                  "daemon unless --camera-daemon none)")
             sp.add_argument("--camera-daemon", default="synthetic",
                             help="daemon source: synthetic | pgm:DIR | "
-                                 "v4l2:DEV | none (attach to an already-"
-                                 "running daemon's ring)")
+                                 "v4l2:DEV | qhy | spinnaker | none (attach "
+                                 "to an already-running daemon's ring)")
             sp.add_argument("--camera-fps", type=float, default=100.0)
+            sp.add_argument("--trigger", default="none",
+                            choices=["none", "sw", "hw"],
+                            help="daemon trigger mode: sw = software pulses "
+                                 "(t/k/| keys fire them), hw = hardware "
+                                 "Line0 (Spinnaker; BscanFFTspinj)")
 
     sp = sub.add_parser("sim", help="replay reconstruction")
     common(sp)

@@ -318,9 +318,17 @@ class Session:
         if self.sink is None:
             self._say("no sink; trig capture ignored")
             return
-        self._trig = {"mode": mode, "count": 0,
-                      "n": max(self.cfg.manualaverages, 1),
+        n = max(self.cfg.manualaverages, 1)
+        self._trig = {"mode": mode, "count": 0, "n": n,
                       "set": getattr(self, "_trig_set", 0)}
+        # with a trigger-capable camera attached (daemon in --trigger mode),
+        # fire one software pulse per frame so the capture drives the real
+        # acquisition seam — ConfigureTrigger/GrabNextImageByTrigger on
+        # Spinnaker (BscanFFTspinj.cpp:1695-1720) — instead of sampling
+        # free-running frames.  A free-running daemon ignores the counter.
+        trig_fn = getattr(self.source, "trigger", None)
+        if callable(trig_fn):
+            trig_fn(n * (2 if mode == "Alt" else 1))
 
     def _spawn_offline_tool(self) -> None:
         """fork/execv the offline reconstruction tool with argv

@@ -26,7 +26,7 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 # loop: exposure/gain keys land here and the daemon applies them to the
 # running device (the reference's SetQHYCCDParam-from-the-key-switch seam,
 # BscanFFT.cpp:1600-1624).
-CTRL_PARAMS = {"exposure": 0, "gain": 1, "gamma": 2, "fps": 3}
+CTRL_PARAMS = {"exposure": 0, "gain": 1, "gamma": 2, "fps": 3, "trigger": 4}
 
 
 def _build_native() -> None:
@@ -61,6 +61,8 @@ def load_ring_lib(build: bool = True) -> ctypes.CDLL:
                                    ctypes.c_char_p]
     lib.fdoct_ring_head.restype = ctypes.c_uint64
     lib.fdoct_ring_head.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_nslots.restype = ctypes.c_uint32
+    lib.fdoct_ring_nslots.argtypes = [ctypes.c_void_p]
     lib.fdoct_ring_set_ctrl.restype = None
     lib.fdoct_ring_set_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                         ctypes.c_double]
@@ -139,6 +141,31 @@ class RingReader:
             time.sleep(0.001)
         return None
 
+    def next_in_order(self, timeout_s: float = 5.0) -> np.ndarray | None:
+        """Oldest frame not yet seen — lossless in-order consumption (for
+        triggered capture, where every pulse's frame must be collected;
+        the reference's AcquireImages loop likewise takes every triggered
+        frame, BscanFFTspinj.cpp:258-347).  Falls forward to the oldest
+        still-available frame if the writer lapped this reader."""
+        deadline = time.monotonic() + timeout_s
+        ptr = self._buf.ctypes.data_as(ctypes.c_char_p)
+        nslots = self.lib.fdoct_ring_nslots(self.h)
+        while time.monotonic() < deadline:
+            head = self.lib.fdoct_ring_head(self.h)
+            if head < self.last_seq:
+                self.last_seq = 0      # writer restarted (new epoch)
+            want = self.last_seq + 1
+            if head >= want:
+                if head - want >= nslots:
+                    want = head - nslots + 1   # lapped: skip to oldest
+                seq = self.lib.fdoct_ring_get(self.h, want, ptr)
+                if seq:
+                    self.last_seq = seq
+                    return self._buf.view(self._dtype).reshape(
+                        self.height, self.width).copy()
+            time.sleep(0.001)
+        return None
+
     # --- control channel (host → daemon) --------------------------------
     def set_ctrl(self, param: str | int, value: float) -> None:
         """Write one control parameter for the daemon to apply (the '+'/'-'
@@ -154,6 +181,14 @@ class RingReader:
         """True when the daemon has applied the latest control snapshot."""
         return (self.lib.fdoct_ring_ctrl_applied(self.h)
                 == self.lib.fdoct_ring_ctrl_seq(self.h))
+
+    def trigger(self, n: int = 1) -> None:
+        """Fire ``n`` software trigger pulses: bump the CTRL_TRIGGER counter
+        the daemon consumes one frame per unit (the GrabNextImageByTrigger
+        seam, BscanFFTspinj.cpp:192-230; Spinnaker daemons execute the
+        GenICam TriggerSoftware command per pulse)."""
+        cur = self.get_ctrl("trigger")
+        self.set_ctrl("trigger", cur + n)
 
     def wait_ctrl_applied(self, timeout_s: float = 2.0) -> bool:
         deadline = time.monotonic() + timeout_s
@@ -184,9 +219,14 @@ class CameraSource:
     def __init__(self, ring_path: str | Path, daemon_args: list[str] | None = None,
                  width: int = 0, height: int = 0, bpp: int = 8,
                  nslots: int = 16, fps: float = 100.0,
-                 max_restarts: int = 2, starve_timeout_s: float = 5.0):
+                 max_restarts: int = 2, starve_timeout_s: float = 5.0,
+                 daemon_exe: str = "capture_daemon",
+                 sequential: bool = False,
+                 initial_ctrl: dict[str, float] | None = None):
         self.ring_path = ring_path
         self.daemon_args = daemon_args
+        self.daemon_exe = daemon_exe
+        self.sequential = sequential
         self._spawn_spec = (width, height, bpp, nslots, fps)
         self.max_restarts = max_restarts
         self.restarts = 0
@@ -202,11 +242,24 @@ class CameraSource:
         if daemon_args is not None:
             self._spawn()
         self.reader = RingReader(ring_path)
+        # seed the control block with the configured initial values so
+        # later single-param set_ctrl writes never present the daemon a
+        # snapshot whose other slots read 0-meaning-unset
+        for name, value in (initial_ctrl or {}).items():
+            self.set_param(name, value)
 
     def _spawn(self) -> None:
-        exe = _NATIVE_DIR / "capture_daemon"
+        exe = _NATIVE_DIR / self.daemon_exe
         if not exe.exists():
-            _build_native()
+            if self.daemon_exe == "capture_daemon":
+                _build_native()
+            else:
+                # SDK seam daemons (capture_daemon_qhy / _spin) build
+                # against stubs/ by default; deployments override
+                # SDK_INC/SDK_LIB in native/Makefile for the vendor SDK
+                subprocess.run(["make", "-C", str(_NATIVE_DIR),
+                                self.daemon_exe],
+                               check=True, capture_output=True, timeout=120)
         width, height, bpp, nslots, fps = self._spawn_spec
         cmd = [str(exe), str(self.ring_path), str(width), str(height),
                str(bpp), str(nslots), str(fps)] + self.daemon_args
@@ -250,6 +303,13 @@ class CameraSource:
             self._ctrl_state[param] = float(value)
             self.reader.set_ctrl(param, value)
 
+    def trigger(self, n: int = 1) -> None:
+        """Fire n software trigger pulses (daemon in --trigger sw/hw mode);
+        the session's t/k/| batch-capture handlers call this so triggered
+        capture drives the real acquisition seam instead of sampling
+        free-running frames (BscanFFTspinj.cpp:1695-1720)."""
+        self.reader.trigger(n)
+
     def frames(self) -> Iterator[np.ndarray]:
         while True:
             # watchdog, fast path: daemon exited — restart immediately
@@ -257,7 +317,9 @@ class CameraSource:
             if (self.proc is not None and self.proc.poll() is not None
                     and not self._restart()):
                 raise TimeoutError("camera daemon died")
-            frame = self.reader.latest(timeout_s=self.starve_timeout_s)
+            frame = (self.reader.next_in_order(timeout_s=self.starve_timeout_s)
+                     if self.sequential else
+                     self.reader.latest(timeout_s=self.starve_timeout_s))
             if frame is None:
                 # watchdog, slow path: daemon alive but wedged (no frames)
                 if not self._restart():

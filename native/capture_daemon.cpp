@@ -25,10 +25,32 @@
 // SetQHYCCDParam on the +/-/u/d/U/D keys (BscanFFT.cpp:1600-1624) and
 // Spinnaker's deferred expchanged apply (BscanFFTspin.cpp:1895-1903).
 //
+// Trigger modes (--trigger sw|hw, default free-running): the triggered
+// acquisition of BscanFFTspinj.cpp — ConfigureTrigger (TriggerMode Off →
+// TriggerSource Software/Line0 → TriggerMode On, reference :123-189),
+// GrabNextImageByTrigger (:192-230), ResetTrigger at shutdown (:232-256).
+// In 'sw' mode the host fires pulses by bumping the CTRL_TRIGGER counter in
+// the ring control block (RingReader.trigger()); the daemon emits exactly
+// one frame per pulse — for EVERY source, so the trigger flow is CI-testable
+// with --synthetic and maps to TriggerSoftware.Execute() on Spinnaker.  In
+// 'hw' mode Spinnaker blocks in GetNextImage until a Line0 pulse arrives;
+// other sources treat hw like sw (the counter stands in for the pulse line).
+//
+// Acquisition geometry (--offsetx/--offsety/--cambinx/--cambiny/--camspeed/
+// --usbtraffic/--exposure/--gain/--gamma): plumbed into the SDK init chains —
+// QHY SetQHYCCDResolution(offsets) + CONTROL_USBTRAFFIC/SPEED
+// (BscanFFT.cpp:808-871), Spinnaker OffsetX/Y, Width/Height, PixelFormat
+// Mono8/16, AcquisitionFrameRate[Enable] (BscanFFTspin.cpp:809-979).
+//
 // Usage: capture_daemon RING_PATH WIDTH HEIGHT BPP NSLOTS FPS SOURCE [ARG]
+//                       [--trigger sw|hw] [--offsetx N] [--offsety N]
+//                       [--cambinx N] [--cambiny N] [--camspeed N]
+//                       [--usbtraffic N] [--exposure US] [--gain N]
+//                       [--gamma F]
 // Build: g++ -O2 -o capture_daemon capture_daemon.cpp
 
 #include <cmath>
+#include <csignal>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -54,8 +76,20 @@ void fdoct_ring_close(void *);
 int fdoct_ring_poll_ctrl(void *, double *);
 }
 
-// control-slot indices (must match fdoct_tpu/sources/camera.py CTRL_PARAMS)
-enum { CTRL_EXPOSURE_US = 0, CTRL_GAIN = 1, CTRL_GAMMA = 2, CTRL_FPS = 3 };
+// control-slot indices (must match fdoct_tpu/sources/camera.py CTRL_PARAMS).
+// CTRL_TRIGGER is a monotonically increasing pulse counter: each increment
+// commands one triggered frame (the software-trigger seam).
+enum { CTRL_EXPOSURE_US = 0, CTRL_GAIN = 1, CTRL_GAMMA = 2, CTRL_FPS = 3,
+       CTRL_TRIGGER = 4 };
+
+// acquisition geometry from the ini, passed on argv (see header comment)
+struct CamGeom {
+  int offsetx = 0, offsety = 0;
+  int cambinx = 1, cambiny = 1;
+  double camspeed = 2;     // QHY CONTROL_SPEED 0..2 / Spinnaker fps
+  double usbtraffic = 20;  // QHY CONTROL_USBTRAFFIC 0..100
+  double exposure_us = 1000.0, gain = 0.0, gamma = 0.0;
+};
 
 static volatile int g_stop = 0;
 extern "C" void handle_sigterm(int) { g_stop = 1; }
@@ -207,8 +241,7 @@ struct V4L2Source {
 struct QHYSource {
   qhyccd_handle *cam = nullptr;
 
-  bool open_dev(uint32_t w, uint32_t h, uint32_t bpp, double exposure_us,
-                double gain) {
+  bool open_dev(uint32_t w, uint32_t h, uint32_t bpp, const CamGeom &g) {
     if (InitQHYCCDResource() != QHYCCD_SUCCESS) return false;
     const int n = ScanQHYCCD();
     if (n <= 0) { fprintf(stderr, "qhy: no camera found\n"); return false; }
@@ -219,11 +252,14 @@ struct QHYSource {
     if (SetQHYCCDStreamMode(cam, 1) != QHYCCD_SUCCESS) return false;  // live
     if (InitQHYCCD(cam) != QHYCCD_SUCCESS) return false;
     SetQHYCCDBitsMode(cam, bpp);
-    SetQHYCCDResolution(cam, 0, 0, w, h);
-    SetQHYCCDParam(cam, CONTROL_USBTRAFFIC, 20);
-    SetQHYCCDParam(cam, CONTROL_SPEED, 1);
-    SetQHYCCDParam(cam, CONTROL_EXPOSURE, exposure_us);
-    SetQHYCCDParam(cam, CONTROL_GAIN, gain);
+    // ROI with offsets + USB link parameters from the ini, exactly the
+    // init chain of BscanFFT.cpp:808-871
+    SetQHYCCDResolution(cam, g.offsetx, g.offsety, w, h);
+    SetQHYCCDParam(cam, CONTROL_USBTRAFFIC, g.usbtraffic);
+    SetQHYCCDParam(cam, CONTROL_SPEED, g.camspeed);
+    SetQHYCCDParam(cam, CONTROL_EXPOSURE, g.exposure_us);
+    SetQHYCCDParam(cam, CONTROL_GAIN, g.gain);
+    if (g.gamma > 0) SetQHYCCDParam(cam, CONTROL_GAMMA, g.gamma);
     return BeginQHYCCDLive(cam) == QHYCCD_SUCCESS;
   }
 
@@ -287,7 +323,28 @@ struct SpinSource {
     return spinFloatSetValue(h, v) == SPINNAKER_ERR_SUCCESS;
   }
 
-  bool open_dev(double exposure_us, double gain) {
+  bool node_set_int(const char *node, int64_t v) {
+    spinNodeHandle h = nullptr;
+    if (spinNodeMapGetNode(nodemap, node, &h) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    return spinIntegerSetValue(h, v) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool node_set_bool(const char *node, bool8_t v) {
+    spinNodeHandle h = nullptr;
+    if (spinNodeMapGetNode(nodemap, node, &h) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    return spinBooleanSetValue(h, v) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool node_execute(const char *node) {
+    spinNodeHandle h = nullptr;
+    if (spinNodeMapGetNode(nodemap, node, &h) != SPINNAKER_ERR_SUCCESS)
+      return false;
+    return spinCommandExecute(h) == SPINNAKER_ERR_SUCCESS;
+  }
+
+  bool open_dev(uint32_t w, uint32_t h, uint32_t bpp, const CamGeom &g) {
     if (spinSystemGetInstance(&sys) != SPINNAKER_ERR_SUCCESS) return false;
     if (spinCameraListCreateEmpty(&list) != SPINNAKER_ERR_SUCCESS) return false;
     if (spinSystemGetCameras(sys, list) != SPINNAKER_ERR_SUCCESS) return false;
@@ -301,10 +358,39 @@ struct SpinSource {
     node_set_enum("AcquisitionMode", "Continuous");   // BscanFFTspin.cpp:860
     node_set_enum("ExposureAuto", "Off");             // :920
     node_set_enum("GainAuto", "Off");                 // :907
-    node_set_float("ExposureTime", exposure_us < 8 ? 8 : exposure_us);
-    node_set_float("Gain", gain);
+    // image geometry: PixelFormat then ROI with offsets
+    // (BscanFFTspin.cpp:934-979, 990-1015)
+    node_set_enum("PixelFormat", bpp > 8 ? "Mono16" : "Mono8");
+    node_set_int("OffsetX", g.offsetx);
+    node_set_int("OffsetY", g.offsety);
+    node_set_int("Width", w);
+    node_set_int("Height", h);
+    node_set_int("BinningHorizontal", g.cambinx);
+    node_set_int("BinningVertical", g.cambiny);
+    // fixed frame rate = camspeed (BscanFFTspin.cpp:824-831)
+    node_set_bool("AcquisitionFrameRateEnable", 1);
+    node_set_float("AcquisitionFrameRate", g.camspeed);
+    node_set_float("ExposureTime", g.exposure_us < 8 ? 8 : g.exposure_us);
+    node_set_float("Gain", g.gain);
     return spinCameraBeginAcquisition(cam) == SPINNAKER_ERR_SUCCESS;
   }
+
+  // ConfigureTrigger (BscanFFTspinj.cpp:123-189): trigger must be OFF while
+  // selecting the source, then re-enabled
+  bool configure_trigger(bool hardware) {
+    if (!node_set_enum("TriggerMode", "Off")) return false;
+    if (!node_set_enum("TriggerSource", hardware ? "Line0" : "Software"))
+      return false;
+    return node_set_enum("TriggerMode", "On");
+  }
+
+  // ResetTrigger (BscanFFTspinj.cpp:232-256)
+  void reset_trigger() { node_set_enum("TriggerMode", "Off"); }
+
+  // the software half of GrabNextImageByTrigger (:192-230); the pulse
+  // arrives from the host's CTRL_TRIGGER counter, then this executes the
+  // TriggerSoftware command and the regular grab() collects the frame
+  bool fire_software_trigger() { return node_execute("TriggerSoftware"); }
 
   bool grab(std::vector<uint8_t> &out, size_t frame_bytes) {
     spinImage img = nullptr;
@@ -336,6 +422,7 @@ struct SpinSource {
 
   void close_dev() {
     if (cam) {
+      reset_trigger();  // leave the camera free-running (ResetTrigger)
       spinCameraEndAcquisition(cam);
       spinCameraDeInit(cam);
       spinCameraRelease(cam);
@@ -350,15 +437,50 @@ int main(int argc, char **argv) {
   if (argc < 8) {
     fprintf(stderr,
             "usage: %s RING WIDTH HEIGHT BPP NSLOTS FPS "
-            "(--synthetic | --pgm DIR | --v4l2 DEV)\n",
+            "(--synthetic | --pgm DIR | --v4l2 DEV | --qhy | --spinnaker) "
+            "[--trigger sw|hw] [--offsetx N] [--offsety N] [--cambinx N] "
+            "[--cambiny N] [--camspeed N] [--usbtraffic N] [--exposure US] "
+            "[--gain N] [--gamma F]\n",
             argv[0]);
     return 2;
   }
+  // graceful shutdown: SIGTERM/SIGINT finish the current frame, then run
+  // the SDK close chain (StopQHYCCDLive/CloseQHYCCD, ResetTrigger/
+  // EndAcquisition) and release the ring — required for the ASan-clean
+  // seam tests and for leaving a real camera in a sane state
+  signal(SIGTERM, handle_sigterm);
+  signal(SIGINT, handle_sigterm);
+
   const char *ring_path = argv[1];
   const uint32_t w = atoi(argv[2]), h = atoi(argv[3]);
   const uint32_t bpp = atoi(argv[4]), nslots = atoi(argv[5]);
   const double fps = atof(argv[6]);
   const std::string mode = argv[7];
+
+  // positional source ARG (pgm dir / v4l2 device), then keyword flags
+  const char *src_arg = nullptr;
+  CamGeom geom;
+  int trigger = 0;  // 0 = free-running, 1 = software, 2 = hardware
+  for (int i = 8; i < argc; i++) {
+    std::string a = argv[i];
+    auto next = [&]() -> const char * {
+      return (i + 1 < argc) ? argv[++i] : "";
+    };
+    if (a == "--trigger") {
+      std::string t = next();
+      trigger = (t == "hw") ? 2 : (t == "sw") ? 1 : 0;
+    } else if (a == "--offsetx") geom.offsetx = atoi(next());
+    else if (a == "--offsety") geom.offsety = atoi(next());
+    else if (a == "--cambinx") geom.cambinx = atoi(next());
+    else if (a == "--cambiny") geom.cambiny = atoi(next());
+    else if (a == "--camspeed") geom.camspeed = atof(next());
+    else if (a == "--usbtraffic") geom.usbtraffic = atof(next());
+    else if (a == "--exposure") geom.exposure_us = atof(next());
+    else if (a == "--gain") geom.gain = atof(next());
+    else if (a == "--gamma") geom.gamma = atof(next());
+    else if (a.rfind("--", 0) != 0 && !src_arg) src_arg = argv[i];
+    else { fprintf(stderr, "unknown flag %s\n", argv[i]); return 2; }
+  }
 
   void *ring = fdoct_ring_open(ring_path, 1, w, h, bpp, nslots);
   if (!ring) {
@@ -369,20 +491,38 @@ int main(int argc, char **argv) {
   std::vector<uint8_t> buf(frame_bytes, 0);
   useconds_t sleep_us = fps > 0 ? (useconds_t)(1e6 / fps) : 0;
 
-  // control state, updated from the ring header's control block each frame
+  // control state, updated from the ring header's control block each frame.
+  // The ring preserves the control block across daemon restarts; merge any
+  // preserved host snapshot into the initial state BEFORE opening the
+  // device, so a restarted daemon reopens with the last commanded values
+  // (zero means the host never set that knob — keep the argv default), and
+  // already-fired trigger pulses are not replayed.
+  double trig_seen = 0.0;
+  {
+    double snap[8] = {0};
+    if (fdoct_ring_poll_ctrl(ring, snap)) {
+      if (snap[CTRL_EXPOSURE_US] > 0) geom.exposure_us = snap[CTRL_EXPOSURE_US];
+      if (snap[CTRL_GAIN] > 0) geom.gain = snap[CTRL_GAIN];
+      if (snap[CTRL_GAMMA] > 0) geom.gamma = snap[CTRL_GAMMA];
+      trig_seen = snap[CTRL_TRIGGER];
+    }
+  }
   double ctrl[8] = {0};
-  ctrl[CTRL_EXPOSURE_US] = 1000.0;  // the QHY working config's default
-  ctrl[CTRL_GAIN] = 0.0;
+  ctrl[CTRL_EXPOSURE_US] = geom.exposure_us;
+  ctrl[CTRL_GAIN] = geom.gain;
+  ctrl[CTRL_GAMMA] = geom.gamma;
   ctrl[CTRL_FPS] = fps;
+  ctrl[CTRL_TRIGGER] = trig_seen;
 
   std::vector<std::string> pgms;
   if (mode == "--pgm") {
-    DIR *d = opendir(argv[8]);
-    if (!d) { fprintf(stderr, "no dir %s\n", argv[8]); return 1; }
+    if (!src_arg) { fprintf(stderr, "--pgm needs DIR\n"); return 2; }
+    DIR *d = opendir(src_arg);
+    if (!d) { fprintf(stderr, "no dir %s\n", src_arg); return 1; }
     dirent *e;
     while ((e = readdir(d)))
       if (strstr(e->d_name, ".pgm"))
-        pgms.push_back(std::string(argv[8]) + "/" + e->d_name);
+        pgms.push_back(std::string(src_arg) + "/" + e->d_name);
     closedir(d);
     if (pgms.empty()) { fprintf(stderr, "no .pgm files\n"); return 1; }
   }
@@ -394,16 +534,15 @@ int main(int argc, char **argv) {
       fprintf(stderr, "v4l2 source is 8-bit only (got bpp=%u)\n", bpp);
       return 2;
     }
-    if (!cam.open_dev(argv[8], w, h)) {
-      fprintf(stderr, "v4l2 open failed for %s\n", argv[8]);
+    if (!src_arg || !cam.open_dev(src_arg, w, h)) {
+      fprintf(stderr, "v4l2 open failed for %s\n", src_arg ? src_arg : "?");
       return 1;
     }
   }
 #endif
 #ifdef FDOCT_WITH_QHY
   QHYSource qhy;
-  if (mode == "--qhy" &&
-      !qhy.open_dev(w, h, bpp, ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN])) {
+  if (mode == "--qhy" && !qhy.open_dev(w, h, bpp, geom)) {
     fprintf(stderr, "qhy init failed\n");
     qhy.close_dev();
     return 1;
@@ -411,31 +550,73 @@ int main(int argc, char **argv) {
 #endif
 #ifdef FDOCT_WITH_SPINNAKER
   SpinSource spin;
-  if (mode == "--spinnaker" &&
-      !spin.open_dev(ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN])) {
-    fprintf(stderr, "spinnaker init failed\n");
-    spin.close_dev();
-    return 1;
+  if (mode == "--spinnaker") {
+    if (!spin.open_dev(w, h, bpp, geom)) {
+      fprintf(stderr, "spinnaker init failed\n");
+      spin.close_dev();
+      return 1;
+    }
+    // ConfigureTrigger after acquisition setup (BscanFFTspinj.cpp:1695)
+    if (trigger && !spin.configure_trigger(trigger == 2)) {
+      fprintf(stderr, "spinnaker trigger config failed\n");
+      spin.close_dev();
+      return 1;
+    }
   }
 #endif
 
-  for (uint64_t t = 0; !g_stop; t++) {
-    // apply any new host control snapshot before grabbing the next frame
-    // (the deferred-apply seam, BscanFFTspin.cpp:1895-1903)
-    if (fdoct_ring_poll_ctrl(ring, ctrl)) {
-      if (ctrl[CTRL_FPS] > 0) sleep_us = (useconds_t)(1e6 / ctrl[CTRL_FPS]);
-      fprintf(stderr, "ctrl: exposure=%.0fus gain=%.0f fps=%.0f\n",
-              ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN], ctrl[CTRL_FPS]);
+  // poll the host control snapshot and apply to the device (the
+  // deferred-apply seam, BscanFFTspin.cpp:1895-1903).  All NCTRL values —
+  // including the trigger counter — land in the persistent `ctrl` state.
+  auto poll_and_apply = [&]() {
+    double snap[8];
+    memcpy(snap, ctrl, sizeof(snap));
+    if (!fdoct_ring_poll_ctrl(ring, snap)) return;
+    // fps/gamma 0 mean "not set" (hosts seed real values via
+    // CameraSource(initial_ctrl=...)); exposure 0 is a VALID command —
+    // the reference's '-' key clamps exposure at 0 and the sensor goes
+    // dark (BscanFFT.cpp '-' handler) — so it passes through
+    if (snap[CTRL_FPS] <= 0) snap[CTRL_FPS] = ctrl[CTRL_FPS];
+    if (snap[CTRL_GAMMA] <= 0) snap[CTRL_GAMMA] = ctrl[CTRL_GAMMA];
+    memcpy(ctrl, snap, sizeof(snap));
+    if (ctrl[CTRL_FPS] > 0) sleep_us = (useconds_t)(1e6 / ctrl[CTRL_FPS]);
+    fprintf(stderr, "ctrl: exposure=%.0fus gain=%.0f fps=%.0f\n",
+            ctrl[CTRL_EXPOSURE_US], ctrl[CTRL_GAIN], ctrl[CTRL_FPS]);
 #ifdef __linux__
-      if (mode == "--v4l2") cam.apply_ctrl(ctrl);
+    if (mode == "--v4l2") cam.apply_ctrl(ctrl);
 #endif
 #ifdef FDOCT_WITH_QHY
-      if (mode == "--qhy") qhy.apply_ctrl(ctrl);
+    if (mode == "--qhy") qhy.apply_ctrl(ctrl);
 #endif
 #ifdef FDOCT_WITH_SPINNAKER
-      if (mode == "--spinnaker") spin.apply_ctrl(ctrl);
+    if (mode == "--spinnaker") spin.apply_ctrl(ctrl);
+#endif
+  };
+
+  for (uint64_t t = 0; !g_stop; t++) {
+    poll_and_apply();
+
+    // trigger gating (GrabNextImageByTrigger, BscanFFTspinj.cpp:192-230):
+    // in sw mode wait for the host's CTRL_TRIGGER counter to advance, then
+    // emit exactly one frame per pulse.  Spinnaker hw mode instead blocks
+    // in GetNextImage until the Line0 pulse; other sources use the counter
+    // for hw too (it stands in for the pulse line).
+    bool spin_hw_trigger = false;
+#ifdef FDOCT_WITH_SPINNAKER
+    spin_hw_trigger = (mode == "--spinnaker" && trigger == 2);
+#endif
+    if (trigger && !spin_hw_trigger) {
+      while (!g_stop && ctrl[CTRL_TRIGGER] <= trig_seen) {
+        usleep(200);
+        poll_and_apply();
+      }
+      if (g_stop) break;
+      trig_seen += 1.0;  // consume ONE pulse -> one frame
+#ifdef FDOCT_WITH_SPINNAKER
+      if (mode == "--spinnaker") spin.fire_software_trigger();
 #endif
     }
+
     if (mode == "--synthetic") {
       synthetic_frame(buf, w, h, bpp, t, ctrl[CTRL_EXPOSURE_US],
                       ctrl[CTRL_GAIN]);
@@ -451,14 +632,17 @@ int main(int argc, char **argv) {
 #endif
 #ifdef FDOCT_WITH_SPINNAKER
     } else if (mode == "--spinnaker") {
-      if (!spin.grab(buf, frame_bytes)) break;
+      if (!spin.grab(buf, frame_bytes)) {
+        if (trigger) continue;  // triggered grabs time out between pulses
+        break;
+      }
 #endif
     } else {
       fprintf(stderr, "unknown source %s\n", mode.c_str());
       return 2;
     }
     fdoct_ring_push(ring, buf.data());
-    if (sleep_us) usleep(sleep_us);
+    if (sleep_us && !trigger) usleep(sleep_us);
   }
 #ifdef FDOCT_WITH_QHY
   if (mode == "--qhy") qhy.close_dev();

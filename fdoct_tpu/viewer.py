@@ -127,6 +127,15 @@ class Viewer:
         """Remote drag-rect ROI selections (http mode); empty elsewhere."""
         return self.server.pop_rois() if self.server is not None else []
 
+    def pop_config(self) -> list[dict]:
+        """Remote config edits (http mode); empty elsewhere."""
+        return self.server.pop_config() if self.server is not None else []
+
+    def set_config_provider(self, fn) -> None:
+        """Expose current session knobs on GET /config (http mode)."""
+        if self.server is not None:
+            self.server.config_provider = fn
+
     def close(self) -> None:
         if self.server is not None:
             self.server.close()

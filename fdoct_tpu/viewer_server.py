@@ -21,6 +21,15 @@ the display, and key presses flow back over the same socket:
                               mouse drag on the B-scan — the reference's
                               onMouse ROI selection
                               (BscanFFTpeak.cpp:112-181) over the socket.
+- ``GET /config``           — current session knobs as JSON (live-editable
+                              set + restart-required config), the
+                              editiniadv GUI analog
+                              (reference build/editiniadv.m:47-80).
+- ``POST /config``          — JSON ``{field: value, ...}`` queued for
+                              :meth:`pop_config`; the session applies
+                              live-safe fields (threshold, averaging,
+                              exposure/gain, clamp) at the next loop
+                              boundary and reports restart-required ones.
 - ``GET /status.json``      — window list + frame counters.
 
 Pure stdlib (http.server, threading) + PIL for PNG encoding; no external
@@ -45,11 +54,22 @@ _INDEX_HTML = """<!doctype html>
  .w div { padding:2px 0; color:#8bc; }
  img { image-rendering: pixelated; border:1px solid #333; }
  #help { color:#777; }
+ #cfg { margin:8px 6px; color:#9a9; }
+ #cfg table { border-collapse: collapse; }
+ #cfg td { padding:1px 8px 1px 0; }
+ #cfg input { background:#222; color:#ddd; border:1px solid #444;
+              width:9em; font-family:monospace; }
+ #cfg .ro input { color:#777; }
+ #cfgmsg { color:#cc7; }
+ summary { cursor:pointer; color:#8bc; }
 </style></head><body>
 <div id="help">keys are sent to the session (s=save, b=background,
 p=pi/J0 frame, +/- exposure, ]/[ threshold, x=quit ...); drag on a
 window to select an ROI</div>
 <div id="windows"></div>
+<details id="cfg"><summary>config (live knobs apply on Enter; greyed
+fields need a restart)</summary>
+<table id="cfgtable"></table><div id="cfgmsg"></div></details>
 <script>
 fetch('/status.json').then(r => r.json()).then(st => {
   const box = document.getElementById('windows');
@@ -66,6 +86,36 @@ fetch('/status.json').then(r => r.json()).then(st => {
     attachRoi(img, name);
   }
 });
+// config panel (the editiniadv GUI analog): live fields POST /config
+function loadCfg() {
+  fetch('/config').then(r => r.json()).then(c => {
+    const t = document.getElementById('cfgtable');
+    t.innerHTML = '';
+    const add = (name, value, live) => {
+      const tr = document.createElement('tr');
+      if (!live) tr.className = 'ro';
+      const td1 = document.createElement('td'); td1.textContent = name;
+      const td2 = document.createElement('td');
+      const inp = document.createElement('input');
+      inp.value = value; inp.readOnly = !live;
+      if (live) inp.addEventListener('keydown', ev => {
+        if (ev.key !== 'Enter') return;
+        ev.stopPropagation();
+        const body = {}; body[name] = inp.value;
+        fetch('/config', {method:'POST', body: JSON.stringify(body)})
+          .then(() => setTimeout(loadCfg, 300));
+        document.getElementById('cfgmsg').textContent =
+          name + ' = ' + inp.value + ' sent';
+      });
+      inp.addEventListener('keydown', ev => ev.stopPropagation());
+      td2.appendChild(inp); tr.appendChild(td1); tr.appendChild(td2);
+      t.appendChild(tr);
+    };
+    for (const [k, v] of Object.entries(c.live || {})) add(k, v, true);
+    for (const [k, v] of Object.entries(c.static || {})) add(k, v, false);
+  });
+}
+document.getElementById('cfg').addEventListener('toggle', loadCfg);
 // drag-rect ROI selection (the reference's onMouse drag,
 // BscanFFTpeak.cpp:112-181): rectangle is reported in IMAGE pixels
 function attachRoi(img, name) {
@@ -146,7 +196,10 @@ class ViewerServer:
         self._cond = threading.Condition()
         self._keys: list[str] = []
         self._rois: list[dict] = []
+        self._config_updates: list[dict] = []
         self._klock = threading.Lock()
+        # set by the session owner: () -> dict served on GET /config
+        self.config_provider = None
 
         server = self
 
@@ -172,6 +225,11 @@ class ViewerServer:
                               "frames": dict(server._seq)}
                     self._send(200, "application/json",
                                json.dumps(st).encode())
+                elif self.path == "/config":
+                    provider = server.config_provider
+                    cfgst = provider() if provider is not None else {}
+                    self._send(200, "application/json",
+                               json.dumps(cfgst).encode())
                 elif self.path.startswith("/frame/"):
                     name = self.path[len("/frame/"):].removesuffix(".png")
                     with server._cond:
@@ -231,6 +289,18 @@ class ViewerServer:
                     with server._klock:
                         server._rois.append(rect)
                     self._send(200, "text/plain", b"ok\n")
+                elif self.path == "/config":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        upd = json.loads(self.rfile.read(n))
+                        if not isinstance(upd, dict) or not upd:
+                            raise ValueError("not a non-empty object")
+                    except ValueError:
+                        self._send(400, "text/plain", b"bad config\n")
+                        return
+                    with server._klock:
+                        server._config_updates.append(upd)
+                    self._send(200, "text/plain", b"queued\n")
                 else:
                     self._send(404, "text/plain", b"not found\n")
 
@@ -278,6 +348,13 @@ class ViewerServer:
         with self._klock:
             rois, self._rois = self._rois, []
         return rois
+
+    def pop_config(self) -> list[dict]:
+        """Drain queued POST /config updates (the editiniadv GUI edit
+        replacement); the session applies them via apply_config()."""
+        with self._klock:
+            upd, self._config_updates = self._config_updates, []
+        return upd
 
     def close(self) -> None:
         self._closed = True

@@ -141,6 +141,29 @@ class RingReader:
             time.sleep(0.001)
         return None
 
+    def latest_into(self, out: np.ndarray, timeout_s: float = 5.0) -> bool:
+        """Copy the newest unseen frame DIRECTLY into caller memory — one
+        memcpy from the shared-memory ring into ``out`` (e.g. a slot of a
+        persistent batch buffer that device_put ships as-is), versus
+        :meth:`latest`'s ring→scratch→fresh-array two-copy path.  The
+        bytes-on-wire are identical (u8 either way); this removes the
+        host-side assembly copies on the 500+ fps ingest path
+        (scripts/bench_ingest.py section 5).  Returns False on timeout."""
+        assert out.dtype == self._dtype and out.nbytes == self.frame_bytes, \
+            (out.dtype, out.nbytes, self.frame_bytes)
+        assert out.flags["C_CONTIGUOUS"]
+        deadline = time.monotonic() + timeout_s
+        ptr = out.ctypes.data_as(ctypes.c_char_p)
+        while time.monotonic() < deadline:
+            if self.lib.fdoct_ring_head(self.h) < self.last_seq:
+                self.last_seq = 0
+            seq = self.lib.fdoct_ring_latest(self.h, self.last_seq, ptr)
+            if seq:
+                self.last_seq = seq
+                return True
+            time.sleep(0.001)
+        return False
+
     def next_in_order(self, timeout_s: float = 5.0) -> np.ndarray | None:
         """Oldest frame not yet seen — lossless in-order consumption (for
         triggered capture, where every pulse's frame must be collected;

@@ -161,6 +161,62 @@ def main() -> None:
                               "the measured device_put_bandwidth above"}),
           flush=True)
 
+    # ---- 5. ring→device copy paths (zero-copy prototype) ------------
+    # Before: RingReader.latest per frame (ring→scratch memcpy + fresh
+    # ndarray copy) + np.stack batch assembly (third copy) + device_put.
+    # After: RingReader.latest_into writes each frame straight into a slot
+    # of ONE persistent batch buffer (single memcpy) that device_put ships.
+    # Bytes on the wire are IDENTICAL (u8 both ways, 8.4 MB/batch at the
+    # flagship shape) — the delta is host-side assembly time, which bounds
+    # the local-PCIe deployment where the link is not the bottleneck.
+    from fdoct_tpu.sources.camera import RingReader, RingWriter
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ring_path = Path(td) / "bench.ring"
+        wr = RingWriter(ring_path, COLS, ROWS, bpp=8, nslots=BATCH + 2)
+        rd = RingReader(ring_path)
+        src_frames = pool[0]                       # (BATCH, ROWS, COLS) u8
+        batch_buf = np.empty((BATCH, ROWS, COLS), np.uint8)
+
+        # push/read interleaved (latest* return the NEWEST unseen frame, so
+        # the reader must keep up with the writer — as in the live loop)
+        def path_before():
+            frames = []
+            for f in src_frames:
+                wr.push(f)
+                got = rd.latest(timeout_s=2.0)
+                assert got is not None
+                frames.append(got)
+            return jax.device_put(np.stack(frames), dev)
+
+        def path_after():
+            for i, f in enumerate(src_frames):
+                wr.push(f)
+                ok = rd.latest_into(batch_buf[i], timeout_s=2.0)
+                assert ok
+            return jax.device_put(batch_buf, dev)
+
+        stats = {}
+        for name, fn in (("copying", path_before), ("zero_copy", path_after)):
+            best = float("inf")
+            for _ in range(6):
+                t0 = time.perf_counter()
+                x = fn()
+                int(x[0, 0, 0])                    # force the transfer
+                best = min(best, time.perf_counter() - t0)
+            stats[name] = best
+        rd.close()
+        wr.close()
+    print(json.dumps({
+        "metric": "ring_to_device_batch_ms",
+        "copying_path_ms": round(stats["copying"] * 1e3, 2),
+        "zero_copy_path_ms": round(stats["zero_copy"] * 1e3, 2),
+        "speedup": round(stats["copying"] / stats["zero_copy"], 2),
+        "bytes_on_wire_per_batch": int(batch_buf.nbytes),
+        "note": "u8 both ways; delta = host assembly copies "
+                "(RingReader.latest_into)"}), flush=True)
+
 
 if __name__ == "__main__":
     main()

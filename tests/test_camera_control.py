@@ -244,3 +244,30 @@ class TestBitDepth:
         assert rc == 0
         runs = list(tmp_path.glob("*-b16"))
         assert runs, "no run directory written"
+
+
+class TestZeroCopyIngest:
+    def test_latest_into_matches_latest(self, tmp_path):
+        """latest_into writes the same frame bytes straight into caller
+        memory (the zero-copy ingest path, bench_ingest section 5)."""
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+
+        path = tmp_path / "zc.ring"
+        w = RingWriter(path, 32, 8, nslots=4)
+        r1 = RingReader(path)
+        r2 = RingReader(path)
+        try:
+            frame = np.arange(256, dtype=np.uint8).reshape(8, 32)
+            w.push(frame)
+            a = r1.latest(timeout_s=2.0)
+            out = np.empty((8, 32), np.uint8)
+            assert r2.latest_into(out, timeout_s=2.0)
+            np.testing.assert_array_equal(a, frame)
+            np.testing.assert_array_equal(out, frame)
+            # wrong-shape / wrong-dtype buffers are rejected loudly
+            with pytest.raises(AssertionError):
+                r2.latest_into(np.empty((8, 32), np.uint16))
+        finally:
+            w.close()
+            r1.close()
+            r2.close()

@@ -119,6 +119,87 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
                             frames.shape[0])(frames, background, pi_frame)
 
 
+# ---------------------------------------------------------------------------
+# int8-direct on the mesh: the same two-s8-matmul display path
+# (fdoct_tpu.int8direct) sharded like the f32 step.  The quantized operator
+# and dequant scales replicate (they are per-spectral-column); the per-ROW
+# tables (1/u gain, pi/dark constant correction) shard over 'ascan' with
+# the frame rows they correct.
+# ---------------------------------------------------------------------------
+
+
+def _int8_plan_specs(plan):
+    """PartitionSpec pytree for an Int8DirectPlan: row-indexed leaves shard
+    over 'ascan', spectral/operator leaves replicate."""
+    import dataclasses as _dc
+    return _dc.replace(
+        plan,
+        oq_re=P(), oq_im=P(), s_re=P(), s_im=P(),
+        row_gain_inv=P("ascan", None),
+        const_re=P("ascan", None), const_im=P("ascan", None),
+        bg_rank1_resid=P(),
+    )
+
+
+def _bscan_step_int8_fn(fr, plan, *, cfg: PipelineConfig, batch: int):
+    """Per-shard body of :func:`sharded_bscan_step_int8`: device-side u8→s8
+    bias shift, two s8 MXU matmuls against the folded plan, then the same
+    psum/display tail as the f32 step."""
+    from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
+
+    mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
+    group = lax.psum(jnp.sum(mags, axis=0), "data")
+    bscan = group.T / batch + 1e-5
+    db = to_db(bscan, eps=0.0, compat=cfg.compat)
+    db = _mask_dc_rows_local(db)
+    disp = threshold_floor(db, cfg.bscanthreshold)
+    gmin = lax.pmin(jnp.min(disp), "ascan")
+    gmax = lax.pmax(jnp.max(disp), "ascan")
+    rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
+    return db, (disp - gmin) / rng
+
+
+@lru_cache(maxsize=None)
+def _jitted_bscan_step_int8(mesh: Mesh, cfg: PipelineConfig, batch: int,
+                            plan_treedef, spec_leaves):
+    """The jit object is cached on (mesh, cfg, batch, plan structure) so
+    repeated calls reuse the compiled executable — the plan's ARRAY leaves
+    are traced arguments (a rebuilt plan after a 'b' capture does not
+    recompile)."""
+    def body(fr, *plan_leaves):
+        plan = jax.tree_util.tree_unflatten(plan_treedef, plan_leaves)
+        return _bscan_step_int8_fn(fr, plan, cfg=cfg, batch=batch)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "ascan", None), *spec_leaves),
+        out_specs=(P(None, "ascan"), P(None, "ascan")),
+    ))
+
+
+def build_bscan_step_int8(mesh: Mesh, plan, cfg: PipelineConfig, batch: int):
+    """Jitted sharded int8-direct B-scan step (the mesh counterpart of
+    Session's int8_direct fast path)."""
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    spec_leaves = tuple(jax.tree_util.tree_leaves(
+        _int8_plan_specs(plan), is_leaf=lambda x: isinstance(x, P)))
+    fn = _jitted_bscan_step_int8(mesh, cfg, batch, treedef, spec_leaves)
+
+    def step(frames):
+        return fn(frames, *leaves)
+
+    step.lower = lambda fr: fn.lower(fr, *leaves)
+    return step
+
+
+def sharded_bscan_step_int8(frames: jnp.ndarray, plan,
+                            cfg: PipelineConfig, mesh: Mesh):
+    """One averaged B-scan from a sharded u8 frame batch on the int8-direct
+    display path; layouts match :func:`sharded_bscan_step`."""
+    return build_bscan_step_int8(mesh, plan, cfg,
+                                 frames.shape[0])(frames)
+
+
 @lru_cache(maxsize=None)
 def _jitted_cscan_volume(mesh: Mesh, cfg: PipelineConfig, method: str,
                          gather_full: bool):

@@ -161,3 +161,69 @@ class TestScalingHarness:
         itemsize = jnp.dtype(cfg.dtype).itemsize
         expect = h_loc * calib.ndisp * itemsize + 2 * itemsize
         assert got.get("all-reduce", 0) == expect, (got, expect)
+
+
+class TestShardedInt8Direct:
+    """The int8-direct display path on the mesh must match its own
+    single-device result (the quantized op replicates; the per-row gain
+    and pi-correction tables shard over 'ascan' with their frame rows)."""
+
+    @pytest.mark.parametrize("ndata,nascan", [(8, 1), (4, 2), (2, 4)])
+    def test_matches_single_device(self, ndata, nascan):
+        from fdoct_tpu.int8direct import (Int8DirectPlan,
+                                          reconstruct_int8_direct, to_s8)
+        from fdoct_tpu.ops import to_db
+        from fdoct_tpu.ops.scale import threshold_floor
+        from fdoct_tpu.parallel import sharded_bscan_step_int8
+        from fdoct_tpu.parallel.sharded import _mask_dc_rows_local
+
+        cfg8 = PipelineConfig(width=128, height=16, binvalue=1, averages=8,
+                              numfftpoints=256, numdisplaypoints=64,
+                              dtype="float32", compat=True,
+                              matmul_precision="int8_direct")
+        src = SyntheticSource(height=16, width=128, depths_um=(40.0, 70.0),
+                              noise=0.01, seed=7)
+        it = iter(src.frames())
+        frames = np.stack([next(it) for _ in range(8)]).astype(np.uint8)
+        bg = np.maximum(src.background().astype(np.float64), 1.0)
+        calib8 = Calibration.create(cfg8)
+        plan = Int8DirectPlan.create(calib8, cfg8, bg, np.zeros_like(bg))
+
+        # single-device reference with the same display tail
+        mags = reconstruct_int8_direct(jnp.asarray(to_s8(frames)), plan)
+        bscan = mags.sum(0).T / 8 + 1e-5
+        ref_db = _mask_dc_rows_local(
+            np.asarray(to_db(bscan, eps=0.0, compat=True)))
+        disp = np.asarray(threshold_floor(jnp.asarray(ref_db),
+                                          cfg8.bscanthreshold))
+        ref_disp = (disp - disp.min()) / max(disp.max() - disp.min(), 1e-30)
+
+        mesh = make_mesh(ndata, nascan)
+        sharded = shard_frames(jnp.asarray(frames), mesh)
+        db_sh, disp_sh = sharded_bscan_step_int8(sharded, plan, cfg8, mesh)
+        np.testing.assert_allclose(np.asarray(db_sh), np.asarray(ref_db),
+                                   rtol=0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(disp_sh), ref_disp,
+                                   rtol=0, atol=1e-5)
+
+    def test_jit_cache_reused_across_plan_rebuilds(self):
+        """A recaptured background rebuilds the plan's arrays but must NOT
+        recompile the sharded step (leaves are traced args)."""
+        from fdoct_tpu.int8direct import Int8DirectPlan
+        from fdoct_tpu.parallel.sharded import (_jitted_bscan_step_int8,
+                                                build_bscan_step_int8)
+
+        cfg8 = PipelineConfig(width=128, height=16, averages=8,
+                              numfftpoints=256, numdisplaypoints=64,
+                              dtype="float32", compat=True,
+                              matmul_precision="int8_direct")
+        calib8 = Calibration.create(cfg8)
+        bg = np.full((16, 128), 100.0)
+        mesh = make_mesh(4, 2)
+        p1 = Int8DirectPlan.create(calib8, cfg8, bg, np.zeros_like(bg))
+        build_bscan_step_int8(mesh, p1, cfg8, 8)
+        mid = _jitted_bscan_step_int8.cache_info().currsize
+        p2 = Int8DirectPlan.create(calib8, cfg8, bg * 1.1, np.zeros_like(bg))
+        build_bscan_step_int8(mesh, p2, cfg8, 8)
+        after = _jitted_bscan_step_int8.cache_info().currsize
+        assert after == mid             # same jit object for both plans

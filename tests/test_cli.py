@@ -294,3 +294,62 @@ class TestResumeCameraControl:
             assert r.get_ctrl("exposure") == 2000.0
         finally:
             r.close()
+
+
+class TestLiveConfigPanel:
+    def test_config_edit_applies_during_live_loop(self, small_ini, tmp_path,
+                                                  monkeypatch):
+        """POST /config while `fdoct live` runs: the loop drains the edit
+        and the threshold takes effect mid-session (the full editiniadv-
+        analog path: browser → viewer server → Session.apply_config)."""
+        import io
+        import json
+        import threading
+        import urllib.request
+
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+
+        seen = {}
+
+        # post the edit from a side thread once the server is up; the live
+        # loop (100 frames) keeps running long enough to drain it
+        def prodder():
+            import time as _t
+            from fdoct_tpu import viewer as _v
+            for _ in range(200):
+                srv = getattr(prodder, "srv", None)
+                if srv is not None:
+                    break
+                _t.sleep(0.02)
+            if srv is None:
+                return
+            url = f"http://127.0.0.1:{srv.port}/config"
+            req = urllib.request.Request(
+                url, data=json.dumps({"bscanthreshold": "-44"}).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=5)
+            for _ in range(300):
+                got = json.loads(urllib.request.urlopen(
+                    url, timeout=5).read())
+                if got["live"]["bscanthreshold"] == -44.0:
+                    seen["applied"] = True
+                    return
+                _t.sleep(0.02)
+
+        from fdoct_tpu.viewer_server import ViewerServer
+        orig_init = ViewerServer.__init__
+
+        def spy_init(self, *a, **k):
+            orig_init(self, *a, **k)
+            prodder.srv = self
+
+        monkeypatch.setattr(ViewerServer, "__init__", spy_init)
+        t = threading.Thread(target=prodder)
+        t.start()
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "100", "--viewer-mode", "http",
+                   "--viewer-port", "0"])
+        t.join(timeout=15)
+        assert rc == 0
+        assert seen.get("applied"), "config edit never took effect live"

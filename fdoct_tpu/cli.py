@@ -475,8 +475,24 @@ def cmd_cscan(args) -> int:
     n_dev = len(jax.devices())
     n_ascan = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
     mesh = make_mesh(n_dev // n_ascan, n_ascan)
-    vol = sharded_cscan_volume(shard_frames(jnp.asarray(volume_raw), mesh),
-                               bg, pi, calib, cfg, mesh, method=args.method)
+    sharded = shard_frames(jnp.asarray(volume_raw), mesh)
+    # int8-direct display volumes when the config asks and the folding
+    # applies (fdoct_tpu.int8direct); dispersion-swept calibrations fold
+    # the same way since the phase lives inside the operator
+    from fdoct_tpu.int8direct import int8_direct_supported
+    if (cfg.matmul_precision == "int8_direct" and args.method == "fused"
+            and volume_raw.dtype == np.uint8
+            and int8_direct_supported(cfg)[0]):
+        from fdoct_tpu.int8direct import Int8DirectPlan
+        from fdoct_tpu.parallel import sharded_cscan_volume_int8
+        plan = Int8DirectPlan.create(calib, cfg, np.asarray(bg),
+                                     np.zeros_like(np.asarray(bg)))
+        print(f"int8-direct volume path (bg rank-1 residual "
+              f"{float(plan.bg_rank1_resid):.2e})", file=sys.stderr)
+        vol = sharded_cscan_volume_int8(sharded, plan, cfg, mesh)
+    else:
+        vol = sharded_cscan_volume(sharded, bg, pi, calib, cfg, mesh,
+                                   method=args.method)
     vol_np = np.asarray(jax.device_get(vol))
 
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt="npz")

@@ -19,6 +19,6 @@ frames independent until averaged — becomes explicit sharding here:
 from fdoct_tpu.parallel.mesh import make_mesh  # noqa: F401
 from fdoct_tpu.parallel.sharded import (  # noqa: F401
     sharded_bscan_step, sharded_bscan_step_int8, sharded_cscan_volume,
-    shard_frames,
+    sharded_cscan_volume_int8, shard_frames,
 )
 from fdoct_tpu.parallel.distributed import initialize_multihost  # noqa: F401

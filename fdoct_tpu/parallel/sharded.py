@@ -201,6 +201,45 @@ def sharded_bscan_step_int8(frames: jnp.ndarray, plan,
 
 
 @lru_cache(maxsize=None)
+def _jitted_cscan_volume_int8(mesh: Mesh, gather_full: bool,
+                              plan_treedef, spec_leaves):
+    from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
+
+    def step(fr, *plan_leaves):
+        plan = jax.tree_util.tree_unflatten(plan_treedef, plan_leaves)
+        mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
+        mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
+        vol = jnp.swapaxes(mags, 1, 2)                 # (f_loc, nd, H)
+        if gather_full:
+            vol = lax.all_gather(vol, "data", axis=0, tiled=True)
+        return vol
+
+    out_spec = P(None, None, None) if gather_full else P("data", None, None)
+    return jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data", "ascan", None), *spec_leaves),
+        out_specs=out_spec,
+        check_vma=False,   # all_gather replicates; see _jitted_cscan_volume
+    ))
+
+
+def sharded_cscan_volume_int8(frames: jnp.ndarray, plan,
+                              cfg: PipelineConfig, mesh: Mesh,
+                              gather_full: bool = False):
+    """Volumetric C-scan on the int8-direct display path: per-frame raw
+    magnitudes like :func:`sharded_cscan_volume`, but each device's block
+    reconstructs via the folded s8 operator (two int8 MXU matmuls per
+    frame).  ``cfg`` is accepted for interface symmetry (the plan already
+    encodes the geometry)."""
+    del cfg
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    spec_leaves = tuple(jax.tree_util.tree_leaves(
+        _int8_plan_specs(plan), is_leaf=lambda x: isinstance(x, P)))
+    fn = _jitted_cscan_volume_int8(mesh, gather_full, treedef, spec_leaves)
+    return fn(frames, *leaves)
+
+
+@lru_cache(maxsize=None)
 def _jitted_cscan_volume(mesh: Mesh, cfg: PipelineConfig, method: str,
                          gather_full: bool):
     def step(fr, yb, yp, calib):

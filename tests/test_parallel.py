@@ -227,3 +227,32 @@ class TestShardedInt8Direct:
         build_bscan_step_int8(mesh, p2, cfg8, 8)
         after = _jitted_bscan_step_int8.cache_info().currsize
         assert after == mid             # same jit object for both plans
+
+    @pytest.mark.parametrize("gather_full", [False, True])
+    def test_cscan_volume_matches_single_device(self, gather_full):
+        from fdoct_tpu.int8direct import (Int8DirectPlan,
+                                          reconstruct_int8_direct, to_s8)
+        from fdoct_tpu.parallel import sharded_cscan_volume_int8
+
+        cfg8 = PipelineConfig(width=128, height=16, binvalue=1, averages=8,
+                              numfftpoints=256, numdisplaypoints=64,
+                              dtype="float32", compat=True,
+                              matmul_precision="int8_direct")
+        src = SyntheticSource(height=16, width=128, depths_um=(40.0, 70.0),
+                              noise=0.01, seed=7)
+        it = iter(src.frames())
+        frames = np.stack([next(it) for _ in range(8)]).astype(np.uint8)
+        bg = np.maximum(src.background().astype(np.float64), 1.0)
+        calib8 = Calibration.create(cfg8)
+        plan = Int8DirectPlan.create(calib8, cfg8, bg, np.zeros_like(bg))
+
+        ref = np.swapaxes(np.asarray(reconstruct_int8_direct(
+            jnp.asarray(to_s8(frames)), plan)), 1, 2)     # (F, nd, H)
+
+        mesh = make_mesh(4, 2)
+        vol = sharded_cscan_volume_int8(
+            shard_frames(jnp.asarray(frames), mesh), plan, cfg8, mesh,
+            gather_full=gather_full)
+        assert vol.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(vol), ref, rtol=0,
+                                   atol=1e-4 * ref.max())

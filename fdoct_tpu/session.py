@@ -590,15 +590,24 @@ class Session:
 
         self._tick_fps(frames[-1], n=n)
         groups = n // avg
+        farr = jnp.asarray(frames)
+        if (farr.ndim == 4 and farr.shape[-1] == 3
+                and farr.dtype == jnp.uint8 and cfg.channelnum < 3
+                and cfg.matmul_precision == "int8_direct"):
+            # webcam single-channel select (BscanFFTwebcam.cpp:1015-1039) is
+            # a pure plane slice — the selected plane stays EXACT u8 camera
+            # counts, so color sources ride int8-direct too.  Channel sum
+            # (channelnum=3) rescales to float and stays on the f32 chain.
+            farr = farr[..., 2 - cfg.channelnum]
         # the live app's log guard; strict-sim (1e-6) is excluded above
-        if self._use_int8_direct(frames[0]):
+        if self._use_int8_direct(farr[0]):
             outs = _session_group_pipeline_int8(
-                jnp.asarray(frames), self._int8_plan(),
+                farr, self._int8_plan(),
                 jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
                 cfg, groups, avg, eps=1e-5)
         else:
             outs = _session_group_pipeline(
-                jnp.asarray(frames), self.data_yb, self.data_yp, self.data_yd,
+                farr, self.data_yb, self.data_yp, self.data_yd,
                 jnp.asarray(self.bscanthreshold, self.data_yb.dtype),
                 self.calib, cfg, groups, avg, self.method,
                 self.variant == "dark", eps=1e-5)

@@ -275,6 +275,37 @@ class TestSessionIntegration:
         s.process(frames[1])
         assert s._i8plan is not p1
 
+    def test_webcam_color_rides_int8_direct(self, data):
+        """Webcam color frames with a single-channel select (channelnum
+        0/1/2, BscanFFTwebcam.cpp:1015-1039) ride int8-direct: the plane
+        slice keeps exact u8 counts.  Pin (a) the batched path routes onto
+        the int8 plan, (b) it equals the same session fed the pre-sliced
+        gray frames bit-exactly, (c) channel sum (channelnum=3) falls back
+        to the f32 chain."""
+        cfg, frames, bg, pi = data
+        cfgw = cfg.replace(channelnum=1)      # G plane = index 2-1
+        rng = np.random.default_rng(5)
+        color = rng.integers(0, 255, frames.shape + (3,)).astype(np.uint8)
+        color[..., 1] = frames
+        s_color = self._mk_session(cfgw, bg, pi)
+        r_color = s_color.process_group(color)
+        assert s_color._i8plan is not None    # routed onto int8-direct
+        s_gray = self._mk_session(cfgw, bg, pi)
+        r_gray = s_gray.process_group(frames)
+        assert len(r_color) == len(r_gray) == 1
+        np.testing.assert_array_equal(r_color[0].bscandisp,
+                                      r_gray[0].bscandisp)
+        # per-frame path agrees with the batched path on color input
+        s_pf = self._mk_session(cfgw, bg, pi)
+        outs = [r for f in color if (r := s_pf.process(f)) is not None]
+        assert s_pf._i8plan is not None
+        np.testing.assert_array_equal(outs[0].bscandisp,
+                                      r_color[0].bscandisp)
+        # channel sum rescales to float -> f32 chain, still correct
+        s_sum = self._mk_session(cfg.replace(channelnum=3), bg, pi)
+        r_sum = s_sum.process_group(color)
+        assert s_sum._i8plan is None and len(r_sum) == 1
+
     def test_fallback_when_unsupported(self, data):
         """A config that defeats the folding (mediann) silently rides the
         normal f32 chain — int8_direct is an optimization, not a mode."""

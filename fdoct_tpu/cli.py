@@ -31,10 +31,17 @@ def _load_cfg(args) -> "PipelineConfig":
     from fdoct_tpu.config import PipelineConfig, read_ini
 
     if args.config and args.config.endswith(".ini"):
-        return read_ini(args.config, getattr(args, "variant", "base"))
-    if args.config:
-        return PipelineConfig.from_json(Path(args.config).read_text())
-    return PipelineConfig()
+        cfg = read_ini(args.config, getattr(args, "variant", "base"))
+    elif args.config:
+        cfg = PipelineConfig.from_json(Path(args.config).read_text())
+    else:
+        cfg = PipelineConfig()
+    # --precision overrides the config's matmul_precision (the reference
+    # ini schemas are positional and cannot carry the field)
+    if getattr(args, "precision", ""):
+        cfg = cfg.replace(matmul_precision=args.precision)
+        cfg.validate()
+    return cfg
 
 
 _open_sources: list = []   # sources needing close() (daemon-owning), see main()
@@ -702,6 +709,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--outdir", default=".")
         sp.add_argument("--format", default="m", choices=["m", "xml", "npz"])
         sp.add_argument("--method", default="fused", choices=["fused", "gather"])
+        sp.add_argument("--precision", default="",
+                        choices=["", "default", "highest", "bf16", "int8",
+                                 "int8_direct"],
+                        help="matmul precision override: int8_direct = the "
+                             "folded s8 MXU display path (~2x f32 on v5e; "
+                             "display mode only), highest = f32-exact for "
+                             "metrology; default inherits the config")
         if source:
             sp.add_argument("--image", help="interferogram PNG to replay")
             sp.add_argument("--background", help="background PNG")

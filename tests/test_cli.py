@@ -59,6 +59,29 @@ class TestSim:
         centroid = (depth_idx * w).sum(0) / np.maximum(w.sum(0), 1e-9)
         assert centroid[35] > centroid[5]
 
+    def test_precision_flag_overrides_config(self, phantom_dir, small_ini,
+                                             tmp_path, monkeypatch):
+        """--precision int8_direct routes the session onto the folded s8
+        path (the ini schemas are positional and cannot carry the field).
+        Pinned by capturing the Session the command builds."""
+        seen = {}
+        from fdoct_tpu import session as session_mod
+        real_session = session_mod.Session
+
+        def spy(cfg, *a, **kw):
+            seen["precision"] = cfg.matmul_precision
+            return real_session(cfg, *a, **kw)
+
+        monkeypatch.setattr(session_mod, "Session", spy)
+        rc = main(["sim", "--config", small_ini,
+                   "--image", str(phantom_dir / "imgi.png"),
+                   "--outdir", str(tmp_path), "--frames", "1",
+                   "--precision", "int8_direct"])
+        assert rc == 0
+        assert seen["precision"] == "int8_direct"
+        with pytest.raises(SystemExit):
+            main(["sim", "--config", small_ini, "--precision", "int4"])
+
     def test_sim_on_reference_16bit_fixture(self, tmp_path):
         import os
         fix = Path("/root/reference/Matlab files")

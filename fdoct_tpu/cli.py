@@ -71,6 +71,7 @@ def _make_source(args, cfg):
             daemon_args, daemon_exe = ["--spinnaker"], "capture_daemon_spin"
         else:
             raise SystemExit(f"unknown --camera-daemon {spec!r}")
+        trig = getattr(args, "trigger", "none")
         if daemon_args is not None:
             # acquisition geometry from the ini reaches the SDK init chain
             # (QHY SetQHYCCDResolution + CONTROL_USBTRAFFIC/SPEED,
@@ -82,10 +83,8 @@ def _make_source(args, cfg):
                 "--camspeed", str(cfg.camspeed),
                 "--usbtraffic", str(cfg.usbtraffic),
                 "--exposure", str(cfg.exposure_us), "--gain", str(cfg.gain)]
-            trig = getattr(args, "trigger", "none")
             if trig in ("sw", "hw"):
                 daemon_args += ["--trigger", trig]
-        trig = getattr(args, "trigger", "none")
         src = CameraSource(args.camera, daemon_args=daemon_args,
                            width=cfg.width, height=cfg.height,
                            bpp=16 if cfg.bpp > 8 else 8,
@@ -93,8 +92,11 @@ def _make_source(args, cfg):
                            daemon_exe=daemon_exe,
                            # triggered capture must collect EVERY pulse's
                            # frame (in-order reads); live view wants the
-                           # newest (frame-skip)
+                           # newest (frame-skip).  triggered also relaxes
+                           # the starvation watchdog: pulse gaps are idle,
+                           # not a wedged daemon (CameraSource.frames)
                            sequential=trig in ("sw", "hw"),
+                           triggered=trig in ("sw", "hw"),
                            initial_ctrl={"exposure": cfg.exposure_us,
                                          "gain": cfg.gain})
         _open_sources.append(src)
@@ -188,18 +190,16 @@ def cmd_live(args) -> int:
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt=args.format)
     # ini-schema names map onto session behavior variants
     session_variant = {"base": "base", "webcam": "base", "dark": "dark",
-                       "peak": "peak", "spinjnt": "spinj",
+                       "peak": "peak", "spinj": "spinj", "spinjnt": "spinj",
                        "viewport": "base", "viewportc": "base"}.get(
                            args.variant, "base")
     # live camera control loop: exposure/gain keys flow Session → this
     # callback → ring control block → daemon → device (the reference's
-    # SetQHYCCDParam key seam, BscanFFT.cpp:1600-1624).  Initialized from
-    # the config the way the reference pushes ini values at camera init
-    # (BscanFFT.cpp:873-886).
+    # SetQHYCCDParam key seam, BscanFFT.cpp:1600-1624).  The config's
+    # initial exposure/gain are seeded once, by CameraSource(initial_ctrl=)
+    # in _make_source (BscanFFT.cpp:873-886) — not re-pushed here, so there
+    # is exactly one seeding site to keep in sync.
     camera_cb = getattr(src, "set_param", None)
-    if camera_cb is not None:
-        camera_cb("exposure", cfg.exposure_us)
-        camera_cb("gain", cfg.gain)
     if getattr(args, "resume", None):
         # resume: stored config wins; calibration tensors + knobs restored
         # (the reference's re-capturable ini+frames state, SURVEY.md §5)
@@ -270,6 +270,10 @@ def cmd_live(args) -> int:
                 raw, r = raws[-1], (rs[-1] if rs else None)
             else:
                 raw = next(it)
+                if raw is None:
+                    # triggered source idling between pulses: loop back so
+                    # the keys that fire the next pulses keep being read
+                    continue
                 r = s.process(raw)
                 n += 1
             if viewer is not None:
@@ -705,7 +709,8 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp, source=True):
         sp.add_argument("--config", help=".ini or .json config file")
         sp.add_argument("--variant", default="base",
-                        help="ini schema variant (base/webcam/dark/peak/spinjnt)")
+                        help="ini schema variant (base/webcam/dark/peak/"
+                             "spinj/spinjnt)")
         sp.add_argument("--outdir", default=".")
         sp.add_argument("--format", default="m", choices=["m", "xml", "npz"])
         sp.add_argument("--method", default="fused", choices=["fused", "gather"])

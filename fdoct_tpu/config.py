@@ -274,6 +274,9 @@ SCHEMAS: dict[str, list[tuple[str, Any]]] = {
     "webcam": _WEBCAM_FIELDS,
     "dark": _DARK_FIELDS,
     "peak": _PEAK_FIELDS,
+    # BscanFFTspinj.ini shares the base field ordering exactly
+    # (BscanFFTspinj.cpp:831-920); only the session behavior differs
+    "spinj": _BASE_FIELDS,
     "spinjnt": _SPINJNT_FIELDS,
     "viewport": _VIEWPORT_FIELDS,
     "viewportc": _VIEWPORTC_FIELDS,

@@ -473,10 +473,13 @@ class Session:
 
     def _int8_plan(self):
         """Int8DirectPlan for the current calibration frames, rebuilt only
-        when a capture rebinds data_yb / data_yp / data_yd (the arrays are
-        immutable jnp values held by self, so identity is a valid key)."""
-        key = (id(self.data_yb), id(self.data_yp), id(self.data_yd))
-        if self._i8key != key:
+        when a capture rebinds data_yb / data_yp / data_yd.  The key holds
+        STRONG references to the keyed arrays and compares ``is`` — a bare
+        id() key would go stale when CPython reuses a freed array's address
+        (a recaptured background could then silently keep the old plan)."""
+        key = (self.data_yb, self.data_yp, self.data_yd)
+        if (self._i8key is None
+                or any(a is not b for a, b in zip(key, self._i8key))):
             from fdoct_tpu.int8direct import Int8DirectPlan
             dark = (np.asarray(self.data_yd)
                     if self.variant == "dark" else None)
@@ -503,7 +506,14 @@ class Session:
             # (BscanFFTwebcam.cpp:1015-1039)
             from fdoct_tpu.ops.filters import channel_select
             raw = channel_select(raw, cfg.channelnum)
-        y = preprocess(raw, cfg)
+        use_i8 = self._use_int8_direct(raw)
+        # the int8-direct design point is ZERO elementwise work on the big
+        # input (int8direct.py docstring); the preprocessed frame is only
+        # needed by the f32 chain, pending key captures, and interferogram
+        # saves — skip the per-frame (H,W) widen/cast dispatch otherwise
+        y = (preprocess(raw, cfg)
+             if (not use_i8 or self._pending or cfg.saveinterferograms)
+             else None)
 
         # active ring fills during the current group; the inactive ring still
         # holds the previous group for after-the-fact saves (BscanFFT.cpp:961-984)
@@ -516,7 +526,7 @@ class Session:
         self._handle_captures(raw, y)
 
         # apodize + A-scan magnitudes
-        if self._use_int8_direct(raw):
+        if use_i8:
             from fdoct_tpu.int8direct import (reconstruct_int8_direct,
                                               shift_u8_to_s8)
             mags = reconstruct_int8_direct(

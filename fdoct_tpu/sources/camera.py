@@ -244,12 +244,13 @@ class CameraSource:
                  nslots: int = 16, fps: float = 100.0,
                  max_restarts: int = 2, starve_timeout_s: float = 5.0,
                  daemon_exe: str = "capture_daemon",
-                 sequential: bool = False,
+                 sequential: bool = False, triggered: bool = False,
                  initial_ctrl: dict[str, float] | None = None):
         self.ring_path = ring_path
         self.daemon_args = daemon_args
         self.daemon_exe = daemon_exe
         self.sequential = sequential
+        self.triggered = triggered
         self._spawn_spec = (width, height, bpp, nslots, fps)
         self.max_restarts = max_restarts
         self.restarts = 0
@@ -330,20 +331,40 @@ class CameraSource:
         """Fire n software trigger pulses (daemon in --trigger sw/hw mode);
         the session's t/k/| batch-capture handlers call this so triggered
         capture drives the real acquisition seam instead of sampling
-        free-running frames (BscanFFTspinj.cpp:1695-1720)."""
-        self.reader.trigger(n)
+        free-running frames (BscanFFTspinj.cpp:1695-1720).
+
+        Under _ctrl_lock: the ring seqlock assumes ONE control writer, and
+        RingReader.trigger is a read-modify-write of the pulse counter —
+        unlocked it races set_param / _restart's re-assert (a torn seq or
+        a lost pulse hangs the triggered capture)."""
+        with self._ctrl_lock:
+            self.reader.trigger(n)
 
     def frames(self) -> Iterator[np.ndarray]:
+        """Frame iterator with the starvation watchdog.
+
+        In ``triggered`` mode the daemon (by design) emits nothing between
+        trigger pulses, so an empty ring is NOT a wedged daemon: instead of
+        restarting, the iterator yields ``None`` after a short poll so the
+        caller can keep servicing the keys that fire the pulses (an
+        always-blocking read here would deadlock the live loop: the 't'
+        key that triggers the first frame is only read between frames).
+        The daemon-death fast path still applies."""
+        poll_s = min(self.starve_timeout_s, 0.05) if self.triggered \
+            else self.starve_timeout_s
         while True:
             # watchdog, fast path: daemon exited — restart immediately
             # rather than serving stale ring frames until the starve timeout
             if (self.proc is not None and self.proc.poll() is not None
                     and not self._restart()):
                 raise TimeoutError("camera daemon died")
-            frame = (self.reader.next_in_order(timeout_s=self.starve_timeout_s)
+            frame = (self.reader.next_in_order(timeout_s=poll_s)
                      if self.sequential else
-                     self.reader.latest(timeout_s=self.starve_timeout_s))
+                     self.reader.latest(timeout_s=poll_s))
             if frame is None:
+                if self.triggered:
+                    yield None   # between pulses: idle, not starved
+                    continue
                 # watchdog, slow path: daemon alive but wedged (no frames)
                 if not self._restart():
                     raise TimeoutError("camera ring starved")

@@ -69,6 +69,10 @@ class FrameStreamer:
             for frame in self._it:
                 if self._stop.is_set():
                     break
+                if frame is None:
+                    # triggered CameraSource idling between pulses
+                    # (camera.py frames() yields None instead of starving)
+                    continue
                 if period:
                     next_t += period
                     delay = next_t - time.monotonic()

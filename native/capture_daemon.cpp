@@ -501,8 +501,14 @@ int main(int argc, char **argv) {
   {
     double snap[8] = {0};
     if (fdoct_ring_poll_ctrl(ring, snap)) {
-      if (snap[CTRL_EXPOSURE_US] > 0) geom.exposure_us = snap[CTRL_EXPOSURE_US];
-      if (snap[CTRL_GAIN] > 0) geom.gain = snap[CTRL_GAIN];
+      // same 0-handling rule as poll_and_apply below: exposure and gain 0
+      // are VALID commands (the '-' keys clamp at 0 and the sensor goes
+      // dark/flat) and the host seeds every knob at attach
+      // (CameraSource(initial_ctrl=...)), so a preserved snapshot is
+      // authoritative for them; only gamma keeps the 0-means-unset
+      // heuristic (no seeding guarantee for it)
+      geom.exposure_us = snap[CTRL_EXPOSURE_US];
+      geom.gain = snap[CTRL_GAIN];
       if (snap[CTRL_GAMMA] > 0) geom.gamma = snap[CTRL_GAMMA];
       trig_seen = snap[CTRL_TRIGGER];
     }

@@ -162,6 +162,34 @@ class TestLive:
         assert rc == 0
 
 
+class TestSpinjVariant:
+    def test_variant_spinj_maps_to_spinj_session(self, small_ini, tmp_path,
+                                                 monkeypatch):
+        """--variant spinj must run the spinj session behavior (t/k/| trig
+        keys) and parse the base ini ordering (BscanFFTspinj.ini shares it,
+        BscanFFTspinj.cpp:831-920).  Regression: it silently fell back to
+        the 'base' session, so the trigger keys were dead in live mode."""
+        import io
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        from fdoct_tpu.config import read_ini
+        cfg = read_ini(small_ini, "spinj")     # base-ordered ini parses
+        assert cfg.width == 256
+        seen = {}
+        from fdoct_tpu import session as session_mod
+        real_session = session_mod.Session
+
+        def spy(cfg, *a, **kw):
+            seen["variant"] = kw.get("variant")
+            return real_session(cfg, *a, **kw)
+
+        monkeypatch.setattr(session_mod, "Session", spy)
+        rc = main(["live", "--config", small_ini, "--variant", "spinj",
+                   "--outdir", str(tmp_path), "--frames", "2"])
+        assert rc == 0
+        assert seen["variant"] == "spinj"
+
+
 class TestLiveCamera:
     @pytest.mark.skipif(__import__("shutil").which("g++") is None,
                         reason="no C++ toolchain")

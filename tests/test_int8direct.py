@@ -306,6 +306,26 @@ class TestSessionIntegration:
         r_sum = s_sum.process_group(color)
         assert s_sum._i8plan is None and len(r_sum) == 1
 
+    def test_no_preprocess_dispatch_on_int8_path(self, data, monkeypatch):
+        """The int8-direct design point is zero elementwise work on the big
+        input: with no pending captures and no interferogram saves, the
+        per-frame path must not dispatch preprocess() (the (H,W) u8→f32
+        widen) at all."""
+        import fdoct_tpu.session as sm
+        cfg, frames, bg, pi = data
+        calls = []
+        orig = sm.preprocess
+        monkeypatch.setattr(
+            sm, "preprocess",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+        s = self._mk_session(cfg, bg, pi)
+        outs = [r for f in frames if (r := s.process(f)) is not None]
+        assert len(outs) == 1 and not calls
+        # ...but a pending 'b' capture still gets its preprocessed frame
+        s.key("b")
+        s.process(frames[0])
+        assert calls
+
     def test_fallback_when_unsupported(self, data):
         """A config that defeats the folding (mediann) silently rides the
         normal f32 chain — int8_direct is an optimization, not a mode."""

@@ -153,12 +153,19 @@ class TestMatmulPrecisionKnob:
         cfg, frames, bg = data
         cfg32 = cfg.replace(dtype="float32")
         calib = Calibration.create(cfg32, dtype="float32")
+        # the int8 leg needs a calibration that CARRIES the quantized
+        # tables (Calibration.create gates them on the config's precision;
+        # without them 'int8' silently tests the bf16 branch instead)
+        calib8 = Calibration.create(cfg32.replace(matmul_precision="int8"),
+                                    dtype="float32")
+        assert calib8.op_re_q is not None
         y = preprocess(jnp.asarray(frames[0]), cfg32)
         yr = apodize_ratio(y, jnp.asarray(bg, jnp.float32),
                            jnp.zeros_like(y), cfg32)
         for prec in ("default", "bf16", "highest", "int8"):
-            mags = np.asarray(ascan_mags_fused(yr, calib, prec))
-            cplx = np.asarray(jnp.abs(ascan_complex(yr, calib, prec)))
+            c = calib8 if prec == "int8" else calib
+            mags = np.asarray(ascan_mags_fused(yr, c, prec))
+            cplx = np.asarray(jnp.abs(ascan_complex(yr, c, prec)))
             # same matmuls by construction; |z| may use hypot vs sqrt
             np.testing.assert_allclose(mags, cplx, rtol=1e-5,
                                        atol=1e-6 * mags.max())

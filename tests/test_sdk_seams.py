@@ -239,6 +239,40 @@ class TestSessionTriggerFlow:
                 os.environ["FDOCT_STUB_FAKE"] = env_backup
 
 
+    def test_idle_triggered_source_yields_none_not_starved(self, tmp_path):
+        """triggered=True relaxes the starvation watchdog: between pulses
+        the daemon (by design) emits nothing, so frames() must yield None
+        and keep the daemon alive — NOT restart it and raise TimeoutError
+        after starve_timeout_s, which previously killed an idle
+        `fdoct live --trigger sw` session within seconds."""
+        from fdoct_tpu.sources.camera import CameraSource
+
+        exe = _build("capture_daemon")
+        assert exe.exists()
+        ring = tmp_path / "ring"
+        src = CameraSource(ring, daemon_args=["--synthetic", "--trigger", "sw"],
+                           width=64, height=32, bpp=8, fps=200.0,
+                           sequential=True, triggered=True,
+                           starve_timeout_s=0.2,
+                           initial_ctrl={"exposure": 1000.0, "gain": 0.0})
+        try:
+            it = src.frames()
+            t0 = time.monotonic()
+            nones = 0
+            while time.monotonic() - t0 < 0.8:   # 4x the starve timeout
+                assert next(it) is None           # idle, not an error
+                nones += 1
+            assert nones > 0
+            assert src.restarts == 0              # watchdog did not fire
+            src.trigger(1)
+            f, t0 = None, time.monotonic()
+            while f is None and time.monotonic() - t0 < 5.0:
+                f = next(it)
+            assert f is not None and f.shape == (32, 64)
+        finally:
+            src.close()
+
+
 @pytest.mark.parametrize("target", ["capture_daemon_qhy_asan",
                                     "capture_daemon_spin_asan"])
 def test_seam_asan_clean(tmp_path, target):

@@ -147,6 +147,49 @@ class TestCtrlChannel:
         finally:
             src.close()
 
+    def test_exposure_zero_survives_daemon_restart(self, tmp_path):
+        """Exposure 0 is a VALID commanded value (the '-' key clamps at 0
+        and the sensor goes dark); a RESTARTED daemon's startup merge must
+        preserve it rather than treating 0 as unset and reopening at the
+        argv default — regression for the `snap > 0` merge rule.  The
+        daemon is respawned by hand with NO host re-assert, which is the
+        externally-attached-daemon case the host cannot paper over."""
+        import subprocess
+
+        from fdoct_tpu.sources.camera import _NATIVE_DIR, RingReader
+
+        exe = _NATIVE_DIR / "capture_daemon"
+        ring = tmp_path / "cam0.ring"
+        argv = [str(exe), str(ring), "64", "16", "8", "16", "500",
+                "--synthetic", "--exposure", "1000"]
+        p1 = subprocess.Popen(argv)
+        try:
+            r = RingReader(ring)
+            assert r.latest(timeout_s=5.0) is not None
+            r.set_ctrl("exposure", 0.0)
+            r.set_ctrl("gain", 0.0)
+            assert r.wait_ctrl_applied(5.0)
+            dark = float(r.latest(timeout_s=5.0).mean())
+            assert dark < 1.0, dark               # sensor sees nothing
+        finally:
+            p1.kill()
+            p1.wait(timeout=5)
+        p2 = subprocess.Popen(argv)               # manual respawn, same ring
+        try:
+            r2 = RingReader(ring)
+            frame = r2.latest(timeout_s=5.0)
+            assert frame is not None
+            # give the daemon a few frames, then read steady state: without
+            # the merge fix it runs at the argv default (bright, mean ~50+)
+            time.sleep(0.1)
+            still_dark = float(r2.latest(timeout_s=5.0).mean())
+            assert still_dark < 1.0, still_dark
+            r2.close()
+            r.close()
+        finally:
+            p2.kill()
+            p2.wait(timeout=5)
+
 
 class TestSdkSeams:
     """The QHY / Spinnaker seams compile against the stub headers and fail

@@ -192,8 +192,18 @@ def to_s8(raw_u8: np.ndarray) -> np.ndarray:
 
     This is the transform the capture ring applies on its memcpy path; the
     bytes on the host->device wire are unchanged (1 B/px).
+
+    Rejects non-uint8 input loudly (matching the module's fail-at-plan-build
+    philosophy): an unsafe cast would silently wrap 16-bit counts modulo
+    256 and the display would be garbage with no diagnostic.
     """
-    return np.bitwise_xor(np.asarray(raw_u8, np.uint8), 0x80).view(np.int8)
+    arr = np.asarray(raw_u8)
+    if arr.dtype != np.uint8:
+        raise TypeError(
+            f"to_s8 expects exact uint8 camera counts, got {arr.dtype} "
+            "(16-bit sources are unsupported by int8_direct — see "
+            "int8_direct_supported)")
+    return np.bitwise_xor(arr, 0x80).view(np.int8)
 
 
 @jax.jit

@@ -5,7 +5,9 @@ Layouts:
 - calibration tables: replicated
 - B-scan outputs     (ndisp, H): P(None, 'ascan') — depth local, lateral
   sharded; replicated over 'data' after the psum averaging.
-- C-scan volumes     (F, ndisp, H): P('data', None, 'ascan').
+- C-scan volumes     (F, ndisp, H): P('data', None, None) — frames stay
+  sharded, full B-scans assembled per frame by the all_gather over
+  'ascan' (fully replicated with ``gather_full``).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from jax import shard_map
 from fdoct_tpu.calibration import Calibration
 from fdoct_tpu.config import PipelineConfig
 from fdoct_tpu.ops import to_db
-from fdoct_tpu.ops.scale import threshold_floor
+from fdoct_tpu.ops.scale import mask_dc_rows, threshold_floor
 from fdoct_tpu.pipeline import apodize_ratio, ascan_mags, preprocess
 
 
@@ -32,13 +34,48 @@ def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     return jax.device_put(frames, NamedSharding(mesh, P("data", "ascan", None)))
 
 
-def _mask_dc_rows_local(bscan_db: jnp.ndarray) -> jnp.ndarray:
-    """DC-row masking on the local (depth, lateral) block; depth is
-    unsharded so this needs no communication (BscanFFT.cpp:1239-1240).
-    Iota select rather than .at[].set — dynamic-update-slice breaks XLA's
-    fusion of the display chain (measured +16% on the single-chip bench)."""
-    depth_idx = jnp.arange(bscan_db.shape[0])[:, None]
-    return jnp.where(depth_idx < 2, bscan_db[4:5, :], bscan_db)
+def _display_tail(local_mags_sum: jnp.ndarray, batch: int,
+                  cfg: PipelineConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The psum + display tail shared by the f32 and int8-direct B-scan
+    step bodies — ONE implementation so the two mesh paths and the
+    single-device ``pipeline.form_bscan`` (whose semantics this mirrors,
+    BscanFFT.cpp:1211-1255) cannot drift.
+
+    Runs inside shard_map: psum over 'data' completes the group average
+    (the local block is (h_loc, ndisp)); DC-row masking is local because
+    depth is unsharded (ops.scale.mask_dc_rows); the display normalization
+    reduces over 'ascan' with pmin/pmax scalars.
+    """
+    group = lax.psum(local_mags_sum, "data")
+    bscan = group.T / batch + 1e-5                # (ndisp, h_loc)
+    db = to_db(bscan, eps=0.0, compat=cfg.compat)
+    db = mask_dc_rows(db)
+    disp = threshold_floor(db, cfg.bscanthreshold)
+    if cfg.clampupper:
+        # absolute-scale pixel (the 'q' display mode, BscanFFT.cpp:1248-53):
+        # form_bscan clamps GLOBAL pixel (5,5); here columns are sharded
+        # over 'ascan', so offset the column iota by the shard's global
+        # start — exactly one shard owns the pixel, matching single-device
+        col0 = lax.axis_index("ascan") * disp.shape[1]
+        r = jnp.arange(disp.shape[0])[:, None]
+        c = jnp.arange(disp.shape[1])[None, :] + col0
+        disp = jnp.where((r == 5) & (c == 5),
+                         jnp.asarray(cfg.clampupperdb, disp.dtype), disp)
+    gmin = lax.pmin(jnp.min(disp), "ascan")
+    gmax = lax.pmax(jnp.max(disp), "ascan")
+    rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
+    return db, (disp - gmin) / rng
+
+
+def _assemble_volume(mags: jnp.ndarray, gather_full: bool) -> jnp.ndarray:
+    """C-scan assembly shared by the f32 and int8 volume bodies: gather the
+    'ascan'-sharded rows into complete B-scans, (f_loc, nd, H) per device;
+    optionally replicate over 'data' too."""
+    mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
+    vol = jnp.swapaxes(mags, 1, 2)                 # (f_loc, nd, H)
+    if gather_full:
+        vol = lax.all_gather(vol, "data", axis=0, tiled=True)
+    return vol
 
 
 def _bscan_step_fn(fr, yb, yp, calib: Calibration, *, cfg: PipelineConfig,
@@ -55,15 +92,7 @@ def _bscan_step_fn(fr, yb, yp, calib: Calibration, *, cfg: PipelineConfig,
     # plans elsewhere; here it degrades like pipeline._op_matmul_pair)
     mags = ascan_mags(yr, calib, method,
                       cfg.matmul_precision)       # (b_loc, h_loc, ndisp)
-    group = lax.psum(jnp.sum(mags, axis=0), "data")
-    bscan = group.T / batch + 1e-5                # (ndisp, h_loc)
-    db = to_db(bscan, eps=0.0, compat=cfg.compat)
-    db = _mask_dc_rows_local(db)
-    disp = threshold_floor(db, cfg.bscanthreshold)
-    gmin = lax.pmin(jnp.min(disp), "ascan")
-    gmax = lax.pmax(jnp.max(disp), "ascan")
-    rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
-    return db, (disp - gmin) / rng
+    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)
 
 
 @lru_cache(maxsize=None)
@@ -148,15 +177,7 @@ def _bscan_step_int8_fn(fr, plan, *, cfg: PipelineConfig, batch: int):
     from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
 
     mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
-    group = lax.psum(jnp.sum(mags, axis=0), "data")
-    bscan = group.T / batch + 1e-5
-    db = to_db(bscan, eps=0.0, compat=cfg.compat)
-    db = _mask_dc_rows_local(db)
-    disp = threshold_floor(db, cfg.bscanthreshold)
-    gmin = lax.pmin(jnp.min(disp), "ascan")
-    gmax = lax.pmax(jnp.max(disp), "ascan")
-    rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
-    return db, (disp - gmin) / rng
+    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)
 
 
 @lru_cache(maxsize=None)
@@ -208,11 +229,7 @@ def _jitted_cscan_volume_int8(mesh: Mesh, gather_full: bool,
     def step(fr, *plan_leaves):
         plan = jax.tree_util.tree_unflatten(plan_treedef, plan_leaves)
         mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
-        mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
-        vol = jnp.swapaxes(mags, 1, 2)                 # (f_loc, nd, H)
-        if gather_full:
-            vol = lax.all_gather(vol, "data", axis=0, tiled=True)
-        return vol
+        return _assemble_volume(mags, gather_full)
 
     out_spec = P(None, None, None) if gather_full else P("data", None, None)
     return jax.jit(shard_map(
@@ -247,11 +264,7 @@ def _jitted_cscan_volume(mesh: Mesh, cfg: PipelineConfig, method: str,
         yr = apodize_ratio(y, yb, yp, cfg)
         mags = ascan_mags(yr, calib, method,
                           cfg.matmul_precision)           # (f_loc, h_loc, nd)
-        mags = lax.all_gather(mags, "ascan", axis=1, tiled=True)
-        vol = jnp.swapaxes(mags, 1, 2)                    # (f_loc, nd, H)
-        if gather_full:
-            vol = lax.all_gather(vol, "data", axis=0, tiled=True)
-        return vol
+        return _assemble_volume(mags, gather_full)
 
     out_spec = P(None, None, None) if gather_full else P("data", None, None)
     fn = shard_map(

@@ -128,17 +128,13 @@ def main() -> None:
             return c + int8_group_u8(fr).sum(), 0.0
         return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
 
-    per_f32 = timeit("f32_fused", run_f32, gen_u8)
-    per_i8 = timeit("int8_direct_s8", run_int8, gen_s8)
-    per_i8u = timeit("int8_direct_u8shift", run_int8_u8, gen_u8)
-
-    if per_f32 and per_i8:
-        print(f"speedup int8_direct vs f32: {per_f32/per_i8:.2f}x", flush=True)
-    if per_f32 and per_i8u:
-        print(f"speedup u8-shift variant vs f32: {per_f32/per_i8u:.2f}x",
-              flush=True)
-
-    # ---- ON-CHIP display equivalence (uint8 bscandisp) ----
+    # ---- ON-CHIP display equivalence FIRST, in a pristine device state:
+    # with the multi-GB benchmark frame buffers resident (even freshly
+    # del'd — deallocation is async through the tunnel), XLA compiles the
+    # jits below with different tilings/accumulation order and the
+    # agreement degrades deterministically 1.8e-3 -> 4.2e-2.  Characterize
+    # accuracy before any big allocation exists (BENCH.md environment
+    # artifacts). ----
     one_u8 = gen_u8(1)[0]
     one_s8 = jnp.asarray(to_s8(np.asarray(one_u8)))
 
@@ -159,11 +155,58 @@ def main() -> None:
           f"mean {d.mean():.4f}, >1 level: {(d > 1).mean()*100:.3f}% of px, "
           f">2: {(d > 2).mean()*100:.4f}%", flush=True)
 
-    # magnitude-domain relative error on-chip
     ma = np.asarray(jax.jit(f32_group)(one_u8))
     mb = np.asarray(jax.jit(int8_group)(one_s8))
     err = np.abs(ma - mb).max() / (np.abs(ma).max() + 1e-9)
     print(f"on-chip magnitude max rel err: {err:.3e}", flush=True)
+
+    per_f32 = timeit("f32_fused", run_f32, gen_u8)
+    per_i8 = timeit("int8_direct_s8", run_int8, gen_s8)
+    per_i8u = timeit("int8_direct_u8shift", run_int8_u8, gen_u8)
+
+    if per_f32 and per_i8:
+        print(f"speedup int8_direct vs f32: {per_f32/per_i8:.2f}x", flush=True)
+    if per_f32 and per_i8u:
+        print(f"speedup u8-shift variant vs f32: {per_f32/per_i8u:.2f}x",
+              flush=True)
+
+    # ---- interleaved A/B: the shared chip's load windows swing +-30%
+    # between measurements minutes apart (BENCH.md), so the block timings
+    # above can straddle windows.  Here every repeat round times all four
+    # (path x scan-length) cells back-to-back and computes a per-round
+    # differenced ratio — load drift cancels within each round, and the
+    # median of per-round ratios is the trustworthy speedup claim. ----
+    try:
+        fr_u8 = {g: gen_u8(g) for g in (G1, G2)}
+        fr_s8 = {g: gen_s8(g) for g in (G1, G2)}
+        for g in (G1, G2):
+            fr_u8[g].block_until_ready()
+            fr_s8[g].block_until_ready()
+            float(run_f32(fr_u8[g]))          # compile both at both lengths
+            float(run_int8(fr_s8[g]))
+        ratios, i8_rates = [], []
+        for _ in range(8):
+            t = {}
+            for name, run, fr in (("f", run_f32, fr_u8),
+                                  ("i", run_int8, fr_s8)):
+                for g in (G1, G2):
+                    t0 = time.perf_counter()
+                    float(run(fr[g]))
+                    t[name, g] = time.perf_counter() - t0
+            pf = (t["f", G2] - t["f", G1]) / (G2 - G1)
+            pi = (t["i", G2] - t["i", G1]) / (G2 - G1)
+            if pf > 0 and pi > 0:
+                ratios.append(pf / pi)
+                i8_rates.append(BATCH * ROWS / pi)
+        if ratios:
+            print(f"[interleaved A/B] int8_direct speedup vs f32: "
+                  f"median {float(np.median(ratios)):.2f}x "
+                  f"(rounds: {', '.join(f'{r:.2f}' for r in sorted(ratios))}); "
+                  f"int8 reconstruct median "
+                  f"{float(np.median(i8_rates))/1e6:.1f} M ascans/s",
+                  flush=True)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"[interleaved A/B] skipped: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,12 @@ class TestImportHygiene:
         prog = (
             "import sys\n"
             "sys.path.insert(0, %r)\n"
+            # env var AND jax.config: the dev image's site hook preimports
+            # jax with the remote 'axon' TPU plugin, so the env var alone
+            # is too late — and a hung tunnel would then hang this
+            # subprocess (the verify-skill wrapper does the same dance)
             "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
             "import numpy as np, jax.numpy as jnp\n"
             "import fdoct_tpu\n"
             "from fdoct_tpu.config import PipelineConfig\n"

@@ -70,6 +70,33 @@ def test_sharded_bscan_matches_single_device(cfg, setup, ndata, nascan):
     assert np.allclose(np.asarray(disp_sh), np.asarray(want), atol=1e-9)
 
 
+@pytest.mark.parametrize("ndata,nascan", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_clampupper_matches_single_device(cfg, setup, ndata, nascan):
+    """The absolute-scale display mode (cfg.clampupper pins GLOBAL pixel
+    (5,5) to clampupperdb before normalization, BscanFFT.cpp:1248-1253)
+    must behave identically on the mesh: exactly ONE shard owns the pixel
+    (the column iota is offset by the shard's global start), so the
+    normalized display matches the single-device form_bscan chain.
+    Regression: the sharded display tail used to omit the clamp entirely."""
+    frames, bg, pi, calib = setup
+    cfgc = cfg.replace(clampupper=True, clampupperdb=50.0)
+    mesh = make_mesh(ndata, nascan)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    db_sh, disp_sh = sharded_bscan_step(
+        sharded, jnp.asarray(bg), jnp.asarray(pi), calib, cfgc, mesh)
+
+    mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg), jnp.asarray(pi),
+                       calib, cfgc, method="fused")
+    ref = form_bscan(mags.sum(0), cfgc, averages=8)
+    from fdoct_tpu.ops import normalize_minmax
+    from fdoct_tpu.ops.scale import clamp_pixel, threshold_floor
+    want = normalize_minmax(clamp_pixel(
+        threshold_floor(ref.bscandb, cfgc.bscanthreshold), cfgc.clampupperdb))
+    assert np.allclose(np.asarray(disp_sh), np.asarray(want), atol=1e-9)
+    # the clamp really landed: exactly one pixel pinned to the max
+    assert np.asarray(disp_sh)[5, 5] == np.asarray(want)[5, 5]
+
+
 @pytest.mark.parametrize("gather_full", [False, True])
 def test_sharded_cscan_matches_single_device(cfg, setup, gather_full):
     frames, bg, pi, calib = setup
@@ -175,7 +202,7 @@ class TestShardedInt8Direct:
         from fdoct_tpu.ops import to_db
         from fdoct_tpu.ops.scale import threshold_floor
         from fdoct_tpu.parallel import sharded_bscan_step_int8
-        from fdoct_tpu.parallel.sharded import _mask_dc_rows_local
+        from fdoct_tpu.ops.scale import mask_dc_rows
 
         cfg8 = PipelineConfig(width=128, height=16, binvalue=1, averages=8,
                               numfftpoints=256, numdisplaypoints=64,
@@ -192,8 +219,8 @@ class TestShardedInt8Direct:
         # single-device reference with the same display tail
         mags = reconstruct_int8_direct(jnp.asarray(to_s8(frames)), plan)
         bscan = mags.sum(0).T / 8 + 1e-5
-        ref_db = _mask_dc_rows_local(
-            np.asarray(to_db(bscan, eps=0.0, compat=True)))
+        ref_db = np.asarray(mask_dc_rows(
+            to_db(bscan, eps=0.0, compat=True)))
         disp = np.asarray(threshold_floor(jnp.asarray(ref_db),
                                           cfg8.bscanthreshold))
         ref_disp = (disp - disp.min()) / max(disp.max() - disp.min(), 1e-30)

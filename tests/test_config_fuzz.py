@@ -82,3 +82,48 @@ class TestFuzz:
     def test_validate_zero_dims(self):
         with pytest.raises(ValueError):
             PipelineConfig(width=0, height=0).validate()
+
+    def test_random_valid_configs_process_at_every_precision(self):
+        """Property (round 3): any VALID config must run one frame through
+        the live Session at every matmul precision without raising — the
+        int8_direct mode in particular is an optimization with a fallback
+        gate (int8_direct_supported), never a mode that can crash or be
+        required.  The plan must exist exactly when the gate says the
+        folding applies."""
+        import jax.numpy as jnp
+
+        from fdoct_tpu.int8direct import int8_direct_supported
+        from fdoct_tpu.session import Session
+
+        rng = np.random.default_rng(11)
+        ran = {"planned": 0, "fallback": 0}
+        for _ in range(12):
+            cfg = PipelineConfig(
+                width=128, height=16, binvalue=int(rng.choice([1, 2])),
+                averages=1, numfftpoints=256,
+                numdisplaypoints=int(rng.choice([32, 64])),
+                mediann=int(rng.choice([0, 0, 3])),
+                movavgn=int(rng.choice([0, 0, 3])),
+                matmul_precision=str(rng.choice(
+                    ["default", "highest", "bf16", "int8", "int8_direct"])),
+                dtype="float32",
+            )
+            cfg.validate()
+            s = Session(cfg, variant="base")
+            # background at the PREPROCESSED geometry (binning shrinks it)
+            h, w = 16 // max(cfg.binvalue, 1), 128 // max(cfg.binvalue, 1)
+            s.data_yb = jnp.full((h, w), 128.0, jnp.float32)
+            s.data_yp = jnp.zeros((h, w), jnp.float32)
+            frame = rng.integers(0, 255, (16, 128)).astype(np.uint8)
+            r = s.process(frame)
+            # bscandisp is (depth, lateral); lateral = binned height rows
+            assert r is not None and r.bscandisp.shape[1] == h
+            if (cfg.matmul_precision == "int8_direct"
+                    and int8_direct_supported(cfg)[0]
+                    and max(cfg.binvalue, 1) == 1):
+                assert s._i8plan is not None
+                ran["planned"] += 1
+            else:
+                assert s._i8plan is None
+                ran["fallback"] += 1
+        assert ran["fallback"] >= 1   # grid exercised the fallback side

@@ -57,6 +57,27 @@ def main() -> int:
         if not np.allclose(got, ref, atol=1e-9):
             print("MISMATCH", np.abs(got - ref).max(), file=sys.stderr)
             return 1
+
+    # int8-direct sharded step across the same process boundary: the plan
+    # tables must replicate/shard correctly through
+    # make_array_from_process_local_data's global mesh (round 3)
+    from fdoct_tpu.int8direct import (Int8DirectPlan, reconstruct_int8_direct,
+                                      to_s8)
+    from fdoct_tpu.parallel import sharded_bscan_step_int8
+
+    cfg8 = cfg.replace(dtype="float32", matmul_precision="int8_direct")
+    calib8 = Calibration.create(cfg8, dtype="float32")
+    plan = Int8DirectPlan.create(calib8, cfg8, bg, pi)
+    db8, _ = sharded_bscan_step_int8(frames, plan, cfg8, mesh)
+    db8_local = np.asarray(db8.addressable_data(0))
+
+    if pid == 0:
+        m8 = reconstruct_int8_direct(jnp.asarray(to_s8(frames_global)), plan)
+        ref8 = np.asarray(form_bscan(m8.sum(0), cfg8, averages=4).bscandb)
+        if not np.allclose(db8_local, ref8, atol=1e-4):
+            print("INT8 MISMATCH", np.abs(db8_local - ref8).max(),
+                  file=sys.stderr)
+            return 1
         print("MULTIHOST_OK", flush=True)
     return 0
 

@@ -111,7 +111,6 @@ class Session:
         self.ascanat = 20                             # BscanFFT.cpp:362
         self.vertposROI = 10
         self.widthROI = 10
-        self.clampupper = cfg.clampupper
         self.ROIreport = False
         self.jlockin = False
         self.done = False
@@ -153,6 +152,18 @@ class Session:
             # by the 'e' key; attach them to every non-peak session
             from fdoct_tpu.plugins.roi import ROIPlugin
             self.plugins.append(ROIPlugin())
+
+    @property
+    def clampupper(self) -> bool:
+        """Absolute-scale display mode (the 'q' key, BscanFFT.cpp:1248-53).
+        Lives in cfg because form_bscan and the sharded display tail read
+        ``cfg.clampupper`` — a separate session attribute made the toggle
+        a silent no-op."""
+        return self.cfg.clampupper
+
+    @clampupper.setter
+    def clampupper(self, value: bool) -> None:
+        self.cfg = self.cfg.replace(clampupper=bool(value))
 
     # ------------------------------------------------------------------
     # key dispatch (reference: BscanFFT.cpp:1584-1917, keyboardshortcuts.txt)

@@ -75,6 +75,8 @@ def load_ring_lib(build: bool = True) -> ctypes.CDLL:
     lib.fdoct_ring_ctrl_applied.argtypes = [ctypes.c_void_p]
     lib.fdoct_ring_ctrl_seq.restype = ctypes.c_uint64
     lib.fdoct_ring_ctrl_seq.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_ctrl_mask.restype = ctypes.c_uint64
+    lib.fdoct_ring_ctrl_mask.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -265,7 +267,15 @@ class CameraSource:
         self._ctrl_lock = threading.Lock()
         if daemon_args is not None:
             self._spawn()
-        self.reader = RingReader(ring_path)
+        try:
+            self.reader = RingReader(ring_path)
+        except Exception:
+            # don't leak a running daemon holding the camera device when
+            # the ring never appears (e.g. a slow/failed SDK init)
+            if self.proc is not None:
+                self.proc.kill()
+                self.proc.wait(timeout=5)
+            raise
         # seed the control block with the configured initial values so
         # later single-param set_ctrl writes never present the daemon a
         # snapshot whose other slots read 0-meaning-unset
@@ -299,18 +309,37 @@ class CameraSource:
         self._spawn()
         # The ring preserves the control snapshot across a writer re-create
         # (fdoct_ring.cpp), so the restarted daemon re-applies exposure/gain
-        # by itself.  Wait for that first apply (ctrl_applied becomes
-        # nonzero) before re-asserting, so a concurrent header re-init can't
-        # wipe the re-assert.  When nothing was preserved (fresh ring file:
-        # ctrl_seq == 0) there is nothing for the daemon to apply — skip
-        # the wait and just re-assert.
+        # by itself.  Two-phase wait before re-asserting: first for the new
+        # daemon's header re-create (ctrl_applied drops to 0 — right after
+        # the kill it still holds the DEAD daemon's ack, so waiting only
+        # for nonzero would pass immediately and the re-assert could race
+        # the multi-ms header memset and be wiped), then for its first
+        # apply (ctrl_applied nonzero again).  When nothing was preserved
+        # (fresh ring file: ctrl_seq == 0) there is nothing for the daemon
+        # to apply — skip the wait and just re-assert.
         if self._ctrl_state:
-            deadline = time.monotonic() + 5.0
             lib, h = self.reader.lib, self.reader.h
-            while (time.monotonic() < deadline
-                   and lib.fdoct_ring_ctrl_seq(h) != 0
-                   and lib.fdoct_ring_ctrl_applied(h) == 0):
-                time.sleep(0.005)
+            if lib.fdoct_ring_ctrl_seq(h) != 0:
+                deadline = time.monotonic() + 5.0
+                h0 = lib.fdoct_ring_head(h)
+                seen_reset = False
+                while time.monotonic() < deadline:
+                    # phase 1: observe the header re-create (head resets,
+                    # applied memset to 0) — right after the kill the
+                    # header still holds the DEAD daemon's state, and a
+                    # re-assert racing the new daemon's multi-ms header
+                    # memset would be wiped
+                    head = lib.fdoct_ring_head(h)
+                    applied = lib.fdoct_ring_ctrl_applied(h)
+                    if not seen_reset and (applied == 0
+                                           or (h0 > 0 and head < h0)):
+                        seen_reset = True
+                    # phase 2: the new daemon's startup merge acks the
+                    # preserved snapshot (poll_ctrl -> applied nonzero),
+                    # which happens strictly after the memset — safe now
+                    if seen_reset and applied != 0:
+                        break
+                    time.sleep(0.005)
             with self._ctrl_lock:
                 for name, value in self._ctrl_state.items():
                     self.reader.set_ctrl(name, value)

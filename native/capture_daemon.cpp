@@ -49,8 +49,10 @@
 //                       [--gamma F]
 // Build: g++ -O2 -o capture_daemon capture_daemon.cpp
 
+#include <algorithm>
 #include <cmath>
 #include <csignal>
+#include <utility>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -74,6 +76,7 @@ void *fdoct_ring_open(const char *, int, uint32_t, uint32_t, uint32_t, uint32_t)
 uint64_t fdoct_ring_push(void *, const uint8_t *);
 void fdoct_ring_close(void *);
 int fdoct_ring_poll_ctrl(void *, double *);
+uint64_t fdoct_ring_ctrl_mask(void *);
 }
 
 // control-slot indices (must match fdoct_tpu/sources/camera.py CTRL_PARAMS).
@@ -149,6 +152,13 @@ static bool read_pgm(const std::string &path, std::vector<uint8_t> &buf,
   size_t n = (size_t)w * h * (maxv > 255 ? 2 : 1);
   bool ok = fread(buf.data(), 1, n, f) == n;
   fclose(f);
+  if (ok && maxv > 255) {
+    // PGM stores >8-bit samples most-significant-byte first (netpbm spec);
+    // the ring is native little-endian uint16 — swap, or every intensity
+    // is byte-scrambled with no diagnostic
+    for (size_t i = 0; i + 1 < n; i += 2)
+      std::swap(buf[i], buf[i + 1]);
+  }
   return ok;
 }
 
@@ -169,6 +179,20 @@ struct V4L2Source {
     fmt.fmt.pix.pixelformat = V4L2_PIX_FMT_YUYV;
     fmt.fmt.pix.field = V4L2_FIELD_NONE;
     if (ioctl(fd, VIDIOC_S_FMT, &fmt) < 0) return false;
+    // V4L2 S_FMT "succeeds" by ADJUSTING the format to the nearest mode
+    // the driver supports; streaming an adjusted geometry into the
+    // argv-sized ring buffer would overflow it (larger) or scramble the
+    // frames (smaller) — refuse loudly instead
+    if (fmt.fmt.pix.width != width || fmt.fmt.pix.height != height ||
+        fmt.fmt.pix.pixelformat != V4L2_PIX_FMT_YUYV) {
+      fprintf(stderr,
+              "v4l2: driver adjusted format to %ux%u fourcc 0x%08x "
+              "(requested %ux%u YUYV) — set the ini width/height to a "
+              "mode the camera supports\n",
+              fmt.fmt.pix.width, fmt.fmt.pix.height, fmt.fmt.pix.pixelformat,
+              width, height);
+      return false;
+    }
     w = fmt.fmt.pix.width;
     h = fmt.fmt.pix.height;
     v4l2_requestbuffers req = {};
@@ -501,15 +525,16 @@ int main(int argc, char **argv) {
   {
     double snap[8] = {0};
     if (fdoct_ring_poll_ctrl(ring, snap)) {
-      // same 0-handling rule as poll_and_apply below: exposure and gain 0
-      // are VALID commands (the '-' keys clamp at 0 and the sensor goes
-      // dark/flat) and the host seeds every knob at attach
-      // (CameraSource(initial_ctrl=...)), so a preserved snapshot is
-      // authoritative for them; only gamma keeps the 0-means-unset
-      // heuristic (no seeding guarantee for it)
-      geom.exposure_us = snap[CTRL_EXPOSURE_US];
-      geom.gain = snap[CTRL_GAIN];
-      if (snap[CTRL_GAMMA] > 0) geom.gamma = snap[CTRL_GAMMA];
+      // merge exactly the slots the HOST has commanded (the v3 ctrl_mask,
+      // written inside the same seqlock as each value) and keep argv
+      // defaults for the rest.  A commanded 0 is valid — the '-' keys
+      // clamp exposure/gain at 0 and the sensor legitimately goes dark —
+      // which a value-based "0 means unset" heuristic cannot represent.
+      const uint64_t mask = fdoct_ring_ctrl_mask(ring);
+      if (mask & (1ull << CTRL_EXPOSURE_US))
+        geom.exposure_us = snap[CTRL_EXPOSURE_US];
+      if (mask & (1ull << CTRL_GAIN)) geom.gain = snap[CTRL_GAIN];
+      if (mask & (1ull << CTRL_GAMMA)) geom.gamma = snap[CTRL_GAMMA];
       trig_seen = snap[CTRL_TRIGGER];
     }
   }
@@ -530,6 +555,10 @@ int main(int argc, char **argv) {
       if (strstr(e->d_name, ".pgm"))
         pgms.push_back(std::string(src_arg) + "/" + e->d_name);
     closedir(d);
+    // readdir order is filesystem-dependent (hash order on ext4/xfs);
+    // replay must follow sequence order or averaging groups mix frames
+    // from different scan positions
+    std::sort(pgms.begin(), pgms.end());
     if (pgms.empty()) { fprintf(stderr, "no .pgm files\n"); return 1; }
   }
 
@@ -578,12 +607,12 @@ int main(int argc, char **argv) {
     double snap[8];
     memcpy(snap, ctrl, sizeof(snap));
     if (!fdoct_ring_poll_ctrl(ring, snap)) return;
-    // fps/gamma 0 mean "not set" (hosts seed real values via
-    // CameraSource(initial_ctrl=...)); exposure 0 is a VALID command —
-    // the reference's '-' key clamps exposure at 0 and the sensor goes
-    // dark (BscanFFT.cpp '-' handler) — so it passes through
-    if (snap[CTRL_FPS] <= 0) snap[CTRL_FPS] = ctrl[CTRL_FPS];
-    if (snap[CTRL_GAMMA] <= 0) snap[CTRL_GAMMA] = ctrl[CTRL_GAMMA];
+    // only host-COMMANDED slots pass through (the v3 ctrl_mask); a
+    // commanded 0 is valid — the reference's '-' key clamps exposure at 0
+    // and the sensor goes dark (BscanFFT.cpp '-' handler)
+    const uint64_t cmask = fdoct_ring_ctrl_mask(ring);
+    for (int p = 0; p < 8; p++)
+      if (!(cmask & (1ull << p))) snap[p] = ctrl[p];
     memcpy(ctrl, snap, sizeof(snap));
     if (ctrl[CTRL_FPS] > 0) sleep_us = (useconds_t)(1e6 / ctrl[CTRL_FPS]);
     fprintf(stderr, "ctrl: exposure=%.0fus gain=%.0f fps=%.0f\n",
@@ -611,6 +640,7 @@ int main(int argc, char **argv) {
 #ifdef FDOCT_WITH_SPINNAKER
     spin_hw_trigger = (mode == "--spinnaker" && trigger == 2);
 #endif
+    bool pulse_consumed = false;
     if (trigger && !spin_hw_trigger) {
       while (!g_stop && ctrl[CTRL_TRIGGER] <= trig_seen) {
         usleep(200);
@@ -618,16 +648,24 @@ int main(int argc, char **argv) {
       }
       if (g_stop) break;
       trig_seen += 1.0;  // consume ONE pulse -> one frame
+      pulse_consumed = true;
 #ifdef FDOCT_WITH_SPINNAKER
       if (mode == "--spinnaker") spin.fire_software_trigger();
 #endif
     }
+    // a failed grab must NOT eat the pulse, or the daemon permanently
+    // emits fewer frames than pulses and the host's triggered capture
+    // hangs (it counts one frame per fired pulse)
+    auto unconsume = [&]() { if (pulse_consumed) trig_seen -= 1.0; };
 
     if (mode == "--synthetic") {
       synthetic_frame(buf, w, h, bpp, t, ctrl[CTRL_EXPOSURE_US],
                       ctrl[CTRL_GAIN]);
     } else if (mode == "--pgm") {
-      if (!read_pgm(pgms[t % pgms.size()], buf, w, h, bpp)) continue;
+      if (!read_pgm(pgms[t % pgms.size()], buf, w, h, bpp)) {
+        unconsume();
+        continue;
+      }
 #ifdef __linux__
     } else if (mode == "--v4l2") {
       if (!cam.grab_y(buf)) break;
@@ -639,7 +677,10 @@ int main(int argc, char **argv) {
 #ifdef FDOCT_WITH_SPINNAKER
     } else if (mode == "--spinnaker") {
       if (!spin.grab(buf, frame_bytes)) {
-        if (trigger) continue;  // triggered grabs time out between pulses
+        if (trigger) {            // triggered grabs time out between pulses
+          unconsume();            // retry re-fires TriggerSoftware for it
+          continue;
+        }
         break;
       }
 #endif

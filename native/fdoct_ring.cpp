@@ -22,7 +22,7 @@
 namespace {
 
 constexpr uint32_t MAGIC = 0xFD0C7B1F;
-constexpr uint32_t VERSION = 2;
+constexpr uint32_t VERSION = 3;
 constexpr uint32_t NCTRL = 8;  // control slots: 0=exposure_us 1=gain 2=gamma 3=fps
 
 struct Header {
@@ -44,7 +44,13 @@ struct Header {
   uint64_t ctrl_seq;
   uint64_t ctrl_applied;
   double ctrl_values[NCTRL];
-  uint8_t pad[128 - ((6 * 4 + 4 * 8 + NCTRL * 8) % 128)];
+  // v3: per-slot "host has written this knob" bitmask, updated inside the
+  // same seqlock write as the value.  Distinguishes a COMMANDED 0 (the '-'
+  // key legitimately drives exposure to 0) from a never-touched slot, so a
+  // restarted daemon's startup merge takes exactly the knobs the host set
+  // and keeps its argv defaults for the rest.
+  uint64_t ctrl_mask;
+  uint8_t pad[128 - ((6 * 4 + 5 * 8 + NCTRL * 8) % 128)];
 };
 
 struct Ring {
@@ -110,15 +116,18 @@ void *fdoct_ring_open(const char *path, int create, uint32_t width,
     // survive the failover and are re-applied by the fresh daemon
     // (ctrl_applied resets to 0, so its first poll delivers them).
     uint64_t keep_seq = 0;
+    uint64_t keep_mask = 0;
     double keep_vals[NCTRL] = {0};
     Header *old_hdr = reinterpret_cast<Header *>(mem);
     if (old_hdr->magic == MAGIC && old_hdr->version == VERSION &&
         old_hdr->frame_bytes == frame_bytes && old_hdr->nslots == nslots) {
       keep_seq = old_hdr->ctrl_seq & ~1ull;  // round down a mid-write seq
+      keep_mask = old_hdr->ctrl_mask;
       memcpy(keep_vals, old_hdr->ctrl_values, sizeof(keep_vals));
     }
     memset(mem, 0, map_bytes);
     r->hdr->ctrl_seq = keep_seq;
+    r->hdr->ctrl_mask = keep_mask;
     memcpy(r->hdr->ctrl_values, keep_vals, sizeof(keep_vals));
     r->hdr->width = width;
     r->hdr->height = height;
@@ -212,8 +221,19 @@ void fdoct_ring_set_ctrl(void *handle, uint32_t param, double value) {
   // even store on weakly-ordered CPUs — full seqlock write fencing
   __atomic_thread_fence(__ATOMIC_RELEASE);
   h->ctrl_values[param] = value;
+  h->ctrl_mask |= 1ull << param;   // v3: slot is now host-commanded
   __atomic_thread_fence(__ATOMIC_RELEASE);
   __atomic_store_n(&h->ctrl_seq, s + 2, __ATOMIC_RELEASE);  // even: stable
+}
+
+// Which control slots the host has ever written (v3).  Lets a restarted
+// daemon merge exactly the commanded knobs and keep argv defaults for the
+// rest — value-based "0 means unset" heuristics cannot represent a
+// commanded 0 (exposure '-' clamps at 0 and the sensor legitimately goes
+// dark).
+uint64_t fdoct_ring_ctrl_mask(void *handle) {
+  return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->ctrl_mask,
+                         __ATOMIC_ACQUIRE);
 }
 
 double fdoct_ring_get_ctrl(void *handle, uint32_t param) {

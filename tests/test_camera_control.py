@@ -147,6 +147,44 @@ class TestCtrlChannel:
         finally:
             src.close()
 
+    def test_unseeded_slots_keep_argv_defaults_after_restart(self, tmp_path):
+        """The other half of the v3 ctrl_mask merge semantics: a slot the
+        host NEVER wrote (here exposure — only gain was commanded) must
+        keep the daemon's argv default across a restart, not be crushed to
+        the slot's 0 placeholder."""
+        import subprocess
+
+        from fdoct_tpu.sources.camera import _NATIVE_DIR, RingReader
+
+        exe = _NATIVE_DIR / "capture_daemon"
+        ring = tmp_path / "cam_m.ring"
+        argv = [str(exe), str(ring), "64", "16", "8", "16", "500",
+                "--synthetic", "--exposure", "1000"]
+        p1 = subprocess.Popen(argv)
+        try:
+            r = RingReader(ring)
+            assert r.latest(timeout_s=5.0) is not None
+            r.set_ctrl("gain", 5.0)          # exposure slot stays unwritten
+            assert r.wait_ctrl_applied(5.0)
+            assert r.lib.fdoct_ring_ctrl_mask(r.h) == (1 << 1)  # gain only
+        finally:
+            p1.kill()
+            p1.wait(timeout=5)
+        p2 = subprocess.Popen(argv)          # manual respawn, same ring
+        try:
+            r2 = RingReader(ring)
+            assert r2.latest(timeout_s=5.0) is not None
+            time.sleep(0.1)
+            bright = float(r2.latest(timeout_s=5.0).mean())
+            # argv --exposure 1000 survived (synthetic frames bright);
+            # a value-based merge would have opened at exposure 0 (black)
+            assert bright > 10.0, bright
+            r2.close()
+            r.close()
+        finally:
+            p2.kill()
+            p2.wait(timeout=5)
+
     def test_exposure_zero_survives_daemon_restart(self, tmp_path):
         """Exposure 0 is a VALID commanded value (the '-' key clamps at 0
         and the sensor goes dark); a RESTARTED daemon's startup merge must

@@ -173,8 +173,25 @@ class TestKeys:
         assert s.vertposROI == 9
         s.key("q")
         assert s.clampupper
+        assert s.cfg.clampupper      # the toggle must reach form_bscan's cfg
         s.key("e")
         assert s.ROIreport
+
+    def test_clampupper_key_changes_display(self, cfg):
+        """Regression: 'q' used to flip a session attribute nothing read —
+        the display never clamped.  Now the toggle rides cfg and pixel
+        (5,5) is pinned to clampupperdb before normalization
+        (BscanFFT.cpp:1248-1253), so it renders as the display maximum."""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (cfg.averages, cfg.oph, cfg.opw)
+                              ).astype(np.uint8)
+        # a clamp level far above the data so the pinned pixel IS the max
+        s = Session(cfg.replace(clampupperdb=200.0))
+        s.key("q")
+        out = [r for f in frames if (r := s.process(f)) is not None]
+        assert len(out) == 1
+        assert out[0].bscandisp[5, 5] == out[0].bscandisp.max() == 255
 
 
 class TestSaves:

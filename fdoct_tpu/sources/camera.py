@@ -125,23 +125,38 @@ class RingReader:
         self._buf = np.empty(self.frame_bytes, np.uint8)
         self.last_seq = 0
 
+    def _poll(self, fetch, ptr, timeout_s: float) -> int:
+        """Shared poll skeleton for every read mode: deadline loop, 1 ms
+        cadence, and the writer-restart epoch resync (head going backwards
+        means the daemon re-created the ring header → resync from the
+        start).  ``fetch(head)`` attempts one read into ``ptr`` and returns
+        the frame's seq or 0; one implementation of the epoch rule so the
+        three read modes cannot drift."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            head = self.lib.fdoct_ring_head(self.h)
+            if head < self.last_seq:
+                self.last_seq = 0
+            seq = fetch(head)
+            if seq:
+                self.last_seq = seq
+                return seq
+            time.sleep(0.001)
+        return 0
+
+    def _frame(self) -> np.ndarray:
+        return self._buf.view(self._dtype).reshape(
+            self.height, self.width).copy()
+
     def latest(self, timeout_s: float = 5.0) -> np.ndarray | None:
         """Newest frame not yet seen; blocks up to timeout (the reference's
         blocking GetQHYCCDLiveFrame role)."""
-        deadline = time.monotonic() + timeout_s
         ptr = self._buf.ctypes.data_as(ctypes.c_char_p)
-        while time.monotonic() < deadline:
-            if self.lib.fdoct_ring_head(self.h) < self.last_seq:
-                # head went backwards: the writer restarted and re-zeroed
-                # the ring header (new epoch) — resync from the start
-                self.last_seq = 0
-            seq = self.lib.fdoct_ring_latest(self.h, self.last_seq, ptr)
-            if seq:
-                self.last_seq = seq
-                return self._buf.view(self._dtype).reshape(
-                    self.height, self.width).copy()
-            time.sleep(0.001)
-        return None
+        seq = self._poll(
+            lambda head: self.lib.fdoct_ring_latest(self.h, self.last_seq,
+                                                    ptr),
+            ptr, timeout_s)
+        return self._frame() if seq else None
 
     def latest_into(self, out: np.ndarray, timeout_s: float = 5.0) -> bool:
         """Copy the newest unseen frame DIRECTLY into caller memory — one
@@ -154,17 +169,11 @@ class RingReader:
         assert out.dtype == self._dtype and out.nbytes == self.frame_bytes, \
             (out.dtype, out.nbytes, self.frame_bytes)
         assert out.flags["C_CONTIGUOUS"]
-        deadline = time.monotonic() + timeout_s
         ptr = out.ctypes.data_as(ctypes.c_char_p)
-        while time.monotonic() < deadline:
-            if self.lib.fdoct_ring_head(self.h) < self.last_seq:
-                self.last_seq = 0
-            seq = self.lib.fdoct_ring_latest(self.h, self.last_seq, ptr)
-            if seq:
-                self.last_seq = seq
-                return True
-            time.sleep(0.001)
-        return False
+        return bool(self._poll(
+            lambda head: self.lib.fdoct_ring_latest(self.h, self.last_seq,
+                                                    ptr),
+            ptr, timeout_s))
 
     def next_in_order(self, timeout_s: float = 5.0) -> np.ndarray | None:
         """Oldest frame not yet seen — lossless in-order consumption (for
@@ -172,24 +181,19 @@ class RingReader:
         the reference's AcquireImages loop likewise takes every triggered
         frame, BscanFFTspinj.cpp:258-347).  Falls forward to the oldest
         still-available frame if the writer lapped this reader."""
-        deadline = time.monotonic() + timeout_s
         ptr = self._buf.ctypes.data_as(ctypes.c_char_p)
         nslots = self.lib.fdoct_ring_nslots(self.h)
-        while time.monotonic() < deadline:
-            head = self.lib.fdoct_ring_head(self.h)
-            if head < self.last_seq:
-                self.last_seq = 0      # writer restarted (new epoch)
+
+        def fetch(head):
             want = self.last_seq + 1
-            if head >= want:
-                if head - want >= nslots:
-                    want = head - nslots + 1   # lapped: skip to oldest
-                seq = self.lib.fdoct_ring_get(self.h, want, ptr)
-                if seq:
-                    self.last_seq = seq
-                    return self._buf.view(self._dtype).reshape(
-                        self.height, self.width).copy()
-            time.sleep(0.001)
-        return None
+            if head < want:
+                return 0
+            if head - want >= nslots:
+                want = head - nslots + 1       # lapped: skip to oldest
+            return self.lib.fdoct_ring_get(self.h, want, ptr)
+
+        seq = self._poll(fetch, ptr, timeout_s)
+        return self._frame() if seq else None
 
     # --- control channel (host → daemon) --------------------------------
     def set_ctrl(self, param: str | int, value: float) -> None:

@@ -148,16 +148,21 @@ def main() -> None:
         spread = (max(samples) - min(samples)) / med
         return med, spread
 
-    def per_group_of(name, fn, g1, g2, gen=None):
+    def per_group_of(name, fn, g1, g2, gen=None, fatal=True):
         (t1, s1), (t2, s2) = measure(fn, g1, gen), measure(fn, g2, gen)
         # sanity guard: median differenced timings must be positive and the
         # long run must dominate the short one, else the metric JSON would
-        # silently encode noise
+        # silently encode noise.  Only the HEADLINE row is fatal: an
+        # alongside row hitting a wild chip-load window (spreads >100%
+        # observed) must not discard the whole bench — SystemExit would
+        # escape the alongside rows' `except Exception` guard.
         if not (t2 > t1 > 0):
-            print(f"FATAL: inconsistent {name} timings t({g1})={t1:.4f}s "
-                  f"t({g2})={t2:.4f}s — refusing to report a nonsense "
-                  f"metric", file=sys.stderr)
-            raise SystemExit(1)
+            print(f"{'FATAL' if fatal else 'warn'}: inconsistent {name} "
+                  f"timings t({g1})={t1:.4f}s t({g2})={t2:.4f}s — "
+                  f"refusing to report a nonsense metric", file=sys.stderr)
+            if fatal:
+                raise SystemExit(1)
+            raise RuntimeError(f"inconsistent {name} timings")
         per = (t2 - t1) / (g2 - g1)
         print(f"info: {name} per-group {per*1e3:.3f} ms "
               f"(median of {REPEATS}; spread {s1*100:.1f}%/{s2*100:.1f}%)",
@@ -168,7 +173,12 @@ def main() -> None:
     # (G·8·512·2048·4 B); differencing sizes stay ≤64 groups (2 GB) so the
     # measurement reflects MXU rate, not HBM spill at artificial depths
     per_group = per_group_of("scan (HEADLINE)", scan_groups, G1, G2)
-    per_batched = per_group_of("batched", batched_groups, 16, 64)
+    try:
+        per_batched = per_group_of("batched", batched_groups, 16, 64,
+                                   fatal=False)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"info: batched row skipped: {e}", file=sys.stderr)
+        per_batched = None
     ascans = BATCH * ROWS / per_group
 
     # ---- int8_direct display mode (reported alongside, never headline):
@@ -200,7 +210,8 @@ def main() -> None:
                 return c + disp.sum(), 0.0
             return jax.lax.scan(step, jnp.float32(0), all_frames)[0]
 
-        per_int8 = per_group_of("int8_direct", int8_groups, G1, G2)
+        per_int8 = per_group_of("int8_direct", int8_groups, G1, G2,
+                                fatal=False)
         int8_ascans = BATCH * ROWS / per_int8
 
         # batched/offline form of the int8 path (the process_group /
@@ -216,10 +227,11 @@ def main() -> None:
                 lambda s: form_bscan(s, cfg, averages=BATCH).bscandisp)(msum)
             return disp.sum()
 
-        per_int8b = per_group_of("int8_batched", int8_batched, 16, 64)
+        per_int8b = per_group_of("int8_batched", int8_batched, 16, 64,
+                                 fatal=False)
         int8_batched_ascans = BATCH * ROWS / per_int8b
     except Exception as e:  # pragma: no cover - bench resilience
-        print(f"info: int8_direct row skipped: {e}", file=sys.stderr)
+        print(f"info: int8 row(s) incomplete: {e}", file=sys.stderr)
 
     # ---- informational: tunnel-inclusive streaming number.  Non-fatal:
     # this touches the host->device tunnel, whose transient failures must
@@ -246,9 +258,10 @@ def main() -> None:
         "value": round(ascans, 1),
         "unit": "ascans/s",
         "vs_baseline": round(ascans / base, 2),
-        # alongside rows (display modes / offline shape), not the headline
-        "batched_ascans_per_sec": round(BATCH * ROWS / per_batched, 1),
     }
+    # alongside rows (display modes / offline shape), not the headline
+    if per_batched is not None:
+        out["batched_ascans_per_sec"] = round(BATCH * ROWS / per_batched, 1)
     if int8_ascans is not None:
         out["int8_direct_ascans_per_sec"] = round(int8_ascans, 1)
     if int8_batched_ascans is not None:

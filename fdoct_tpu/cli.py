@@ -47,6 +47,17 @@ def _load_cfg(args) -> "PipelineConfig":
 _open_sources: list = []   # sources needing close() (daemon-owning), see main()
 
 
+def _frame_iter(src):
+    """Blocking frame iterator for sequential/batch consumers.
+
+    A triggered CameraSource yields ``None`` between pulses so the live
+    loop can keep servicing the keys that fire them (camera.py frames());
+    every other consumer (capture/viewport/fps/cscan/sweep/sim) just wants
+    the next real frame, so the idle yields are skipped here — ``next()``
+    blocks across pulse gaps instead of crashing on ``None.dtype``."""
+    return (f for f in src.frames() if f is not None)
+
+
 def _make_source(args, cfg):
     from fdoct_tpu.sources import ReplaySource, SyntheticSource
 
@@ -121,7 +132,7 @@ def _autosize(cfg, src):
     """Adapt the config to the source's actual frame size (the webcam
     variant auto-detects w/h from the first frame,
     BscanFFTwebcam.cpp:524-546)."""
-    first = next(iter(src.frames()))
+    first = next(_frame_iter(src))
     h, w = first.shape[:2]
     if (cfg.height, cfg.width) == (h, w):
         return cfg
@@ -150,14 +161,14 @@ def cmd_sim(args) -> int:
     s.plugins.append(JMaskPlugin())      # the sim J-threshold mask path
     s.key("b")
     s.key("p")
-    it = iter(src.frames())
+    it = _frame_iter(src)
 
     if args.debug_dump:
         # first-iteration intermediate dump for the Octave cross-check flow
         # (BscanFFTsim.cpp:901-909 saves data_ylin + nearestkindex)
         import jax.numpy as jnp
         from fdoct_tpu.pipeline import apodize_ratio, linearize, preprocess
-        first = next(iter(src.frames()))
+        first = next(_frame_iter(src))
         y = preprocess(jnp.asarray(first), cfg)
         bgp = preprocess(jnp.asarray(src.background()), cfg)
         pip = preprocess(jnp.asarray(src.pi_frame()), cfg)
@@ -234,6 +245,8 @@ def cmd_live(args) -> int:
         from fdoct_tpu.streaming import FrameStreamer
         streamer = FrameStreamer(src.frames(), maxsize=4 * batch).start()
     else:
+        # NOT _frame_iter: the live loop must see the None idle yields so
+        # the keys that fire the next trigger pulses keep being serviced
         it = iter(src.frames())
 
     n = 0
@@ -309,10 +322,19 @@ def cmd_capture(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
-    it = iter(src.frames())
+    it = _frame_iter(src)
     n = args.sets
     m = args.frames_per_set or cfg.manualaverages
+    # with a trigger-mode daemon attached, fire one software pulse per
+    # wanted frame (the Session._start_trig behaviour) — the daemon emits
+    # exactly one frame per pulse, so an un-pulsed triggered capture would
+    # otherwise block forever waiting on a silent ring.  Hardware-triggered
+    # Spinnaker ignores software pulses (Line0 drives it); harmless there.
+    trig_fn = getattr(src, "trigger", None)
+    fire = callable(trig_fn) and getattr(src, "triggered", False)
     for si in range(n):
+        if fire:
+            trig_fn(m)
         for fi in range(m):
             frame = next(it)
             if frame.dtype == np.uint8 and args.bits16:
@@ -348,7 +370,7 @@ def cmd_offline(args) -> int:
     if not sets:
         print(f"no Trig*.png sets in {args.dirname}", file=sys.stderr)
         return 1
-    first = next(iter(src.frames()))
+    first = next(_frame_iter(src))
     h, w = first.shape
     cfg = cfg.replace(width=w * max(cfg.binvalue, 1),
                       height=h * max(cfg.binvalue, 1))
@@ -379,7 +401,7 @@ def cmd_viewport(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
-    it = iter(src.frames())
+    it = _frame_iter(src)
     for i in range(args.frames):
         frame = next(it)
         peak = 255.0 if frame.dtype == np.uint8 else 65535.0
@@ -405,7 +427,7 @@ def cmd_fps(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     meter = FpsMeter(window_s=args.window)
-    it = iter(src.frames())
+    it = _frame_iter(src)
     import time
     t_end = time.monotonic() + args.seconds
     while time.monotonic() < t_end:
@@ -470,7 +492,7 @@ def cmd_cscan(args) -> int:
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
     calib = Calibration.create(cfg)
-    it = iter(src.frames())
+    it = _frame_iter(src)
     volume_raw = np.stack([next(it) for _ in range(args.frames)])
     bg = jnp.maximum(preprocess(jnp.asarray(src.background()), cfg), 1.0)
     pi = jnp.zeros_like(bg)
@@ -545,7 +567,7 @@ def cmd_sweep(args) -> int:
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
     calib = Calibration.create(cfg)
-    raw = next(iter(src.frames()))
+    raw = next(_frame_iter(src))
     bg = preprocess(jnp.asarray(src.background()), cfg)
     bg = jnp.maximum(bg, 1.0)
     pi = jnp.zeros_like(bg)
@@ -588,7 +610,7 @@ def cmd_selftest(args) -> int:
     calib = Calibration.create(cfg)
     src = SyntheticSource(height=16, width=256, depths_um=(50.0,),
                           reflectivities=(0.5,))
-    raw = jnp.asarray(np.stack([next(iter(src.frames()))] * 2))
+    raw = jnp.asarray(np.stack([next(_frame_iter(src))] * 2))
     bg = jnp.asarray(np.maximum(src.background(), 1).astype(np.float32))
     pi = jnp.zeros_like(bg)
     ok = True

@@ -113,6 +113,29 @@ class TestCaptureOffline:
         assert (run / "offline_bscan000.png").exists()
         assert (run / "offline_bscanc001.png").exists()
 
+    def test_capture_skips_triggered_idle_yields(self, small_ini, tmp_path,
+                                                 monkeypatch):
+        """A triggered CameraSource yields None between pulses
+        (camera.py frames()); batch consumers must block across the idle
+        gaps instead of crashing on None.dtype (cli._frame_iter)."""
+        import fdoct_tpu.cli as cli_mod
+
+        class TriggeredStub:
+            def frames(self):
+                while True:
+                    yield None          # pulse gap (>50 ms poll timeout)
+                    yield np.full((40, 256), 7, np.uint8)
+
+        monkeypatch.setattr(cli_mod, "_make_source",
+                            lambda args, cfg: TriggeredStub())
+        rc = main(["capture", "--config", small_ini,
+                   "--outdir", str(tmp_path), "--sets", "1",
+                   "--frames-per-set", "2"])
+        assert rc == 0
+        run = next(p for p in tmp_path.iterdir() if p.is_dir())
+        assert sorted(p.name for p in run.glob("Trig*.png")) == [
+            "Trig000-000.png", "Trig000-001.png"]
+
     def test_capture_alternate_writes_ktrig(self, small_ini, tmp_path):
         main(["capture", "--config", small_ini, "--outdir", str(tmp_path),
               "--sets", "1", "--frames-per-set", "2", "--alternate"])

@@ -77,6 +77,8 @@ def load_ring_lib(build: bool = True) -> ctypes.CDLL:
     lib.fdoct_ring_ctrl_seq.argtypes = [ctypes.c_void_p]
     lib.fdoct_ring_ctrl_mask.restype = ctypes.c_uint64
     lib.fdoct_ring_ctrl_mask.argtypes = [ctypes.c_void_p]
+    lib.fdoct_ring_epoch.restype = ctypes.c_uint64
+    lib.fdoct_ring_epoch.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -124,16 +126,24 @@ class RingReader:
         self._dtype = np.uint16 if self.bpp > 8 else np.uint8
         self._buf = np.empty(self.frame_bytes, np.uint8)
         self.last_seq = 0
+        self.epoch = self.lib.fdoct_ring_epoch(self.h)
 
     def _poll(self, fetch, ptr, timeout_s: float) -> int:
         """Shared poll skeleton for every read mode: deadline loop, 1 ms
-        cadence, and the writer-restart epoch resync (head going backwards
-        means the daemon re-created the ring header → resync from the
-        start).  ``fetch(head)`` attempts one read into ``ptr`` and returns
-        the frame's seq or 0; one implementation of the epoch rule so the
+        cadence, and the writer-restart resync.  A restart is detected by
+        the header's generation counter changing (v4 epoch field — reliable
+        even when the new writer's head races PAST last_seq within one poll
+        interval, where the old head-went-backwards rule saw "progress");
+        head < last_seq is kept as belt-and-braces for pre-epoch rings.
+        ``fetch(head)`` attempts one read into ``ptr`` and returns the
+        frame's seq or 0; one implementation of the restart rule so the
         three read modes cannot drift."""
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
+            ep = self.lib.fdoct_ring_epoch(self.h)
+            if ep != self.epoch:
+                self.epoch = ep
+                self.last_seq = 0
             head = self.lib.fdoct_ring_head(self.h)
             if head < self.last_seq:
                 self.last_seq = 0
@@ -307,43 +317,36 @@ class CameraSource:
         if self.daemon_args is None or self.restarts >= self.max_restarts:
             return False
         self.restarts += 1
+        # generation BEFORE the kill: the fresh daemon's header re-create
+        # bumps it exactly once (fdoct_ring.cpp v4 epoch), so "epoch moved"
+        # is an unmissable reset signal — unlike the old two-phase
+        # head/ctrl_applied heuristic, which could miss both transitions
+        # when the new daemon finished its memset and first ctrl apply
+        # before the first poll sample, and then spun the full deadline
+        lib, h = self.reader.lib, self.reader.h
+        e0 = lib.fdoct_ring_epoch(h)
         if self.proc is not None:
             self.proc.kill()
             self.proc.wait(timeout=5)
         self._spawn()
         # The ring preserves the control snapshot across a writer re-create
         # (fdoct_ring.cpp), so the restarted daemon re-applies exposure/gain
-        # by itself.  Two-phase wait before re-asserting: first for the new
-        # daemon's header re-create (ctrl_applied drops to 0 — right after
-        # the kill it still holds the DEAD daemon's ack, so waiting only
-        # for nonzero would pass immediately and the re-assert could race
-        # the multi-ms header memset and be wiped), then for its first
-        # apply (ctrl_applied nonzero again).  When nothing was preserved
-        # (fresh ring file: ctrl_seq == 0) there is nothing for the daemon
-        # to apply — skip the wait and just re-assert.
+        # by itself.  Before re-asserting, wait for the header re-create
+        # (epoch bump — a re-assert racing the multi-ms memset would be
+        # wiped), then for the daemon's startup merge of a preserved
+        # snapshot (ctrl_applied nonzero, which the memset zeroed).  When
+        # nothing was preserved (fresh ring file: ctrl_seq == 0 after the
+        # re-create) there is no merge to wait for — just re-assert.
         if self._ctrl_state:
-            lib, h = self.reader.lib, self.reader.h
-            if lib.fdoct_ring_ctrl_seq(h) != 0:
-                deadline = time.monotonic() + 5.0
-                h0 = lib.fdoct_ring_head(h)
-                seen_reset = False
-                while time.monotonic() < deadline:
-                    # phase 1: observe the header re-create (head resets,
-                    # applied memset to 0) — right after the kill the
-                    # header still holds the DEAD daemon's state, and a
-                    # re-assert racing the new daemon's multi-ms header
-                    # memset would be wiped
-                    head = lib.fdoct_ring_head(h)
-                    applied = lib.fdoct_ring_ctrl_applied(h)
-                    if not seen_reset and (applied == 0
-                                           or (h0 > 0 and head < h0)):
-                        seen_reset = True
-                    # phase 2: the new daemon's startup merge acks the
-                    # preserved snapshot (poll_ctrl -> applied nonzero),
-                    # which happens strictly after the memset — safe now
-                    if seen_reset and applied != 0:
-                        break
-                    time.sleep(0.005)
+            deadline = time.monotonic() + 5.0
+            seen_reset = False
+            while time.monotonic() < deadline:
+                if not seen_reset and lib.fdoct_ring_epoch(h) != e0:
+                    seen_reset = True
+                if seen_reset and (lib.fdoct_ring_ctrl_seq(h) == 0
+                                   or lib.fdoct_ring_ctrl_applied(h) != 0):
+                    break
+                time.sleep(0.005)
             with self._ctrl_lock:
                 for name, value in self._ctrl_state.items():
                     self.reader.set_ctrl(name, value)

@@ -22,7 +22,7 @@
 namespace {
 
 constexpr uint32_t MAGIC = 0xFD0C7B1F;
-constexpr uint32_t VERSION = 3;
+constexpr uint32_t VERSION = 4;
 constexpr uint32_t NCTRL = 8;  // control slots: 0=exposure_us 1=gain 2=gamma 3=fps
 
 struct Header {
@@ -50,8 +50,20 @@ struct Header {
   // restarted daemon's startup merge takes exactly the knobs the host set
   // and keeps its argv defaults for the rest.
   uint64_t ctrl_mask;
-  uint8_t pad[128 - ((6 * 4 + 5 * 8 + NCTRL * 8) % 128)];
+  // v4: writer-lifetime generation counter, incremented every time a
+  // writer (re-)creates the header.  A daemon restart that races head past
+  // a reader's last_seq within one poll interval is otherwise
+  // indistinguishable from progress (the new stream's seq numbers look
+  // in-sequence); readers resync on any epoch change (RingReader._poll).
+  // Plays the role of the reference's incomplete-frame retry hardening
+  // (hn-88/FDOCT BscanFFTspin.cpp:1059-1066) for the restart seam.
+  uint64_t epoch;
+  // explicit pad to a fixed 256-byte header (the previous formula-derived
+  // pad silently doubled sizeof(Header) when the field sum hit a multiple
+  // of 128; the static_assert makes the size intentional)
+  uint8_t pad[256 - (6 * 4 + 6 * 8 + NCTRL * 8)];
 };
+static_assert(sizeof(Header) == 256, "ring header must stay 256 bytes");
 
 struct Ring {
   int fd;
@@ -117,15 +129,20 @@ void *fdoct_ring_open(const char *path, int create, uint32_t width,
     // (ctrl_applied resets to 0, so its first poll delivers them).
     uint64_t keep_seq = 0;
     uint64_t keep_mask = 0;
+    uint64_t old_epoch = 0;
     double keep_vals[NCTRL] = {0};
     Header *old_hdr = reinterpret_cast<Header *>(mem);
-    if (old_hdr->magic == MAGIC && old_hdr->version == VERSION &&
-        old_hdr->frame_bytes == frame_bytes && old_hdr->nslots == nslots) {
-      keep_seq = old_hdr->ctrl_seq & ~1ull;  // round down a mid-write seq
-      keep_mask = old_hdr->ctrl_mask;
-      memcpy(keep_vals, old_hdr->ctrl_values, sizeof(keep_vals));
+    if (old_hdr->magic == MAGIC && old_hdr->version == VERSION) {
+      // the generation advances across ANY restart, geometry change or not
+      old_epoch = old_hdr->epoch;
+      if (old_hdr->frame_bytes == frame_bytes && old_hdr->nslots == nslots) {
+        keep_seq = old_hdr->ctrl_seq & ~1ull;  // round down a mid-write seq
+        keep_mask = old_hdr->ctrl_mask;
+        memcpy(keep_vals, old_hdr->ctrl_values, sizeof(keep_vals));
+      }
     }
     memset(mem, 0, map_bytes);
+    r->hdr->epoch = old_epoch + 1;
     r->hdr->ctrl_seq = keep_seq;
     r->hdr->ctrl_mask = keep_mask;
     memcpy(r->hdr->ctrl_values, keep_vals, sizeof(keep_vals));
@@ -205,6 +222,15 @@ uint64_t fdoct_ring_head(void *handle) {
 
 uint32_t fdoct_ring_nslots(void *handle) {
   return static_cast<Ring *>(handle)->hdr->nslots;
+}
+
+// Writer-lifetime generation (v4).  Increments at every header re-create;
+// readers compare against the epoch they last synced to and reset their
+// last_seq on any change — the only reliable restart signal when the new
+// writer's head races past the reader's position within one poll.
+uint64_t fdoct_ring_epoch(void *handle) {
+  return __atomic_load_n(&static_cast<Ring *>(handle)->hdr->epoch,
+                         __ATOMIC_ACQUIRE);
 }
 
 // --- control channel (host → daemon) --------------------------------------

@@ -41,6 +41,40 @@ class TestWatchdog:
         finally:
             src.close()
 
+    def test_restart_racing_head_past_last_seq_resyncs(self, tmp_path, built):
+        """The round-3 TODO edge: a writer restart whose new head races
+        PAST the reader's last_seq within one poll interval used to be
+        indistinguishable from progress (head never goes backwards), so an
+        in-order reader silently continued mid-way into the NEW stream.
+        The v4 header generation counter makes the restart unmissable."""
+        from fdoct_tpu.sources.camera import RingReader, RingWriter
+        path = tmp_path / "race.ring"
+        w = RingWriter(path, 16, 8, nslots=16)
+        for i in range(6):
+            w.push(np.full((8, 16), i, np.uint8))
+        r = RingReader(path)
+        for i in range(6):           # consume the whole first epoch in order
+            assert r.next_in_order(timeout_s=1.0)[0, 0] == i
+        e0 = r.epoch
+        w.close()
+        # restart: the new writer re-creates the header and immediately
+        # races head to 10 > last_seq == 6 before the reader polls again
+        w2 = RingWriter(path, 16, 8, nslots=16)
+        for i in range(10):
+            w2.push(np.full((8, 16), 100 + i, np.uint8))
+        try:
+            # without the epoch this read returned the NEW stream's seq-7
+            # frame (value 106), silently dropping its first 6 frames and
+            # stitching two epochs into one sequence; with it the reader
+            # resyncs and delivers the new stream from its oldest frame
+            frame = r.next_in_order(timeout_s=1.0)
+            assert frame[0, 0] == 100
+            assert r.epoch == e0 + 1
+            assert r.last_seq == 1
+        finally:
+            r.close()
+            w2.close()
+
     def test_gives_up_after_max_restarts(self, tmp_path, built):
         from fdoct_tpu.sources.camera import CameraSource, RingWriter
         # ring exists but nothing ever writes (no daemon ownership)

@@ -211,12 +211,23 @@ def cmd_live(args) -> int:
     # in _make_source (BscanFFT.cpp:873-886) — not re-pushed here, so there
     # is exactly one seeding site to keep in sync.
     camera_cb = getattr(src, "set_param", None)
+    mesh = None
+    if getattr(args, "mesh", ""):
+        # the live data path on the device mesh: Session.process_group
+        # rides the sharded session steps (parallel.sharded), with each
+        # batch device_put across the mesh in one transfer — the sharded
+        # seat of the reference acquisition loop (BscanFFT.cpp:946-1925)
+        from fdoct_tpu.parallel import make_mesh
+        d, _, a = args.mesh.lower().partition("x")
+        mesh = make_mesh(int(d), int(a) if a else 1)
+        print(f"live session on mesh {dict(mesh.shape)}", file=sys.stderr)
     if getattr(args, "resume", None):
         # resume: stored config wins; calibration tensors + knobs restored
         # (the reference's re-capturable ini+frames state, SURVEY.md §5)
         from fdoct_tpu.utils.checkpoint import load_session
         s = load_session(args.resume, variant=session_variant, sink=sink,
-                         source=src, method=args.method, camera=camera_cb)
+                         source=src, method=args.method, camera=camera_cb,
+                         mesh=mesh)
         if camera_cb is not None:
             # restored knobs win over the config defaults pushed above
             camera_cb("exposure", s.exposure_us)
@@ -224,7 +235,7 @@ def cmd_live(args) -> int:
         print(f"resumed session from {args.resume}", file=sys.stderr)
     else:
         s = Session(cfg, variant=session_variant, sink=sink, source=src,
-                    method=args.method, camera=camera_cb)
+                    method=args.method, camera=camera_cb, mesh=mesh)
     viewer = None
     if args.viewer or args.viewer_mode == "http":
         from fdoct_tpu.viewer import Viewer
@@ -238,6 +249,10 @@ def cmd_live(args) -> int:
     import select
 
     batch = max(getattr(args, "batch", 1), 1)
+    if mesh is not None and batch == 1:
+        # the mesh rides the batched fast path (process_group); default to
+        # one averaging group per sharded dispatch
+        batch = max(cfg.averages, 1)
     streamer = None
     if batch > 1:
         # batched fast path: overlapped producer thread + one fused device
@@ -781,6 +796,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="frames per device dispatch (>1 = batched fast "
                          "path via Session.process_group; use a multiple "
                          "of the averaging count)")
+    sp.add_argument("--mesh", default="", metavar="DxA",
+                    help="run the live session over a jax device mesh, "
+                         "e.g. 4x2 = 4-way frame (data) sharding x 2-way "
+                         "A-scan sharding; implies the batched fast path "
+                         "(one averaging group per sharded dispatch)")
     sp.add_argument("--verbose", action="store_true")
     sp.add_argument("--trace", metavar="LOGDIR", default="",
                     help="write a jax.profiler device trace of the live "

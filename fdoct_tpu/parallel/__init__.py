@@ -18,6 +18,7 @@ frames independent until averaged — becomes explicit sharding here:
 
 from fdoct_tpu.parallel.mesh import make_mesh  # noqa: F401
 from fdoct_tpu.parallel.sharded import (  # noqa: F401
+    build_session_bscan_step, build_session_bscan_step_int8,
     sharded_bscan_step, sharded_bscan_step_int8, sharded_cscan_volume,
     sharded_cscan_volume_int8, shard_frames,
 )

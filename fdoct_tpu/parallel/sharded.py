@@ -23,7 +23,7 @@ from jax import shard_map
 from fdoct_tpu.calibration import Calibration
 from fdoct_tpu.config import PipelineConfig
 from fdoct_tpu.ops import to_db
-from fdoct_tpu.ops.scale import mask_dc_rows, threshold_floor
+from fdoct_tpu.ops.scale import mask_dc_rows, threshold_floor, to_uint8
 from fdoct_tpu.pipeline import apodize_ratio, ascan_mags, preprocess
 
 
@@ -35,22 +35,30 @@ def shard_frames(frames: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
 
 
 def _display_tail(local_mags_sum: jnp.ndarray, batch: int,
-                  cfg: PipelineConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  cfg: PipelineConfig, thresh=None,
+                  eps: float = 1e-5) -> tuple[jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray]:
     """The psum + display tail shared by the f32 and int8-direct B-scan
-    step bodies — ONE implementation so the two mesh paths and the
-    single-device ``pipeline.form_bscan`` (whose semantics this mirrors,
+    step bodies — ONE implementation so the mesh paths (offline steps AND
+    the session-facing steps below) and the single-device
+    ``pipeline.form_bscan`` (whose semantics this mirrors,
     BscanFFT.cpp:1211-1255) cannot drift.
 
     Runs inside shard_map: psum over 'data' completes the group average
     (the local block is (h_loc, ndisp)); DC-row masking is local because
     depth is unsharded (ops.scale.mask_dc_rows); the display normalization
     reduces over 'ascan' with pmin/pmax scalars.
+
+    ``thresh`` defaults to the config's static bscanthreshold; the session
+    steps pass it as a traced replicated scalar so the '['/']' keys adjust
+    it live without recompiling.  Returns (linear bscan, dB, disp01).
     """
     group = lax.psum(local_mags_sum, "data")
-    bscan = group.T / batch + 1e-5                # (ndisp, h_loc)
+    bscan = group.T / batch + eps                 # (ndisp, h_loc)
     db = to_db(bscan, eps=0.0, compat=cfg.compat)
     db = mask_dc_rows(db)
-    disp = threshold_floor(db, cfg.bscanthreshold)
+    disp = threshold_floor(db, cfg.bscanthreshold if thresh is None
+                           else thresh)
     if cfg.clampupper:
         # absolute-scale pixel (the 'q' display mode, BscanFFT.cpp:1248-53):
         # form_bscan clamps GLOBAL pixel (5,5); here columns are sharded
@@ -64,7 +72,7 @@ def _display_tail(local_mags_sum: jnp.ndarray, batch: int,
     gmin = lax.pmin(jnp.min(disp), "ascan")
     gmax = lax.pmax(jnp.max(disp), "ascan")
     rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
-    return db, (disp - gmin) / rng
+    return bscan, db, (disp - gmin) / rng
 
 
 def _assemble_volume(mags: jnp.ndarray, gather_full: bool) -> jnp.ndarray:
@@ -92,7 +100,7 @@ def _bscan_step_fn(fr, yb, yp, calib: Calibration, *, cfg: PipelineConfig,
     # plans elsewhere; here it degrades like pipeline._op_matmul_pair)
     mags = ascan_mags(yr, calib, method,
                       cfg.matmul_precision)       # (b_loc, h_loc, ndisp)
-    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)
+    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)[1:]
 
 
 @lru_cache(maxsize=None)
@@ -177,7 +185,7 @@ def _bscan_step_int8_fn(fr, plan, *, cfg: PipelineConfig, batch: int):
     from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
 
     mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
-    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)
+    return _display_tail(jnp.sum(mags, axis=0), batch, cfg)[1:]
 
 
 @lru_cache(maxsize=None)
@@ -254,6 +262,99 @@ def sharded_cscan_volume_int8(frames: jnp.ndarray, plan,
         _int8_plan_specs(plan), is_leaf=lambda x: isinstance(x, P)))
     fn = _jitted_cscan_volume_int8(mesh, gather_full, treedef, spec_leaves)
     return fn(frames, *leaves)
+
+
+# ---------------------------------------------------------------------------
+# Session-facing mesh steps: the live data path on the mesh.
+#
+# These are what Session.process_group rides when constructed with a mesh —
+# the architectural seat of the reference's acquisition loop
+# (BscanFFT.cpp:946-1925, GetQHYCCDLiveFrame at :948) as sharded B-scan
+# batches (SURVEY.md §2.5/§5).  They differ from the offline steps above in
+# exactly two ways: the session's live bscanthreshold is a TRACED replicated
+# scalar (the '['/']' keys adjust it without recompiling), and the outputs
+# are the full BscanResult triple (linear, dB, uint8 display) with layout
+# P(None, 'ascan') so the session can serve plugins/saves identically to the
+# single-device fast path (tests/test_streaming.py pins the parity).
+# ---------------------------------------------------------------------------
+
+
+def _session_bscan_step_fn(fr, yb, yp, yd, thresh, calib: Calibration, *,
+                           cfg: PipelineConfig, method: str, batch: int,
+                           dark: bool):
+    y = preprocess(fr, cfg)
+    if dark:
+        y = y - yd                                # BscanDark.cpp:1269
+    yr = apodize_ratio(y, yb, yp, cfg)
+    mags = ascan_mags(yr, calib, method, cfg.matmul_precision)
+    bscan, db, disp01 = _display_tail(jnp.sum(mags, axis=0), batch, cfg,
+                                      thresh=thresh)
+    return bscan, db, to_uint8(disp01)
+
+
+@lru_cache(maxsize=None)
+def _jitted_session_bscan_step(mesh: Mesh, cfg: PipelineConfig, method: str,
+                               batch: int, dark: bool):
+    fn = shard_map(
+        partial(_session_bscan_step_fn, cfg=cfg, method=method, batch=batch,
+                dark=dark),
+        mesh=mesh,
+        in_specs=(P("data", "ascan", None), P("ascan", None),
+                  P("ascan", None), P("ascan", None), P(), P()),
+        out_specs=(P(None, "ascan"),) * 3,
+    )
+    return jax.jit(fn)
+
+
+def build_session_bscan_step(mesh: Mesh, calib: Calibration,
+                             cfg: PipelineConfig, method: str, batch: int,
+                             dark: bool = False):
+    """Jitted sharded one-group session step: ``step(frames, yb, yp, yd,
+    thresh) -> (bscan, bscandb, bscandisp_u8)``, cached like
+    :func:`build_bscan_step` (the calibration is a traced replicated
+    argument, so 'b'/'p' captures never recompile)."""
+    jfn = _jitted_session_bscan_step(mesh, cfg, method, batch, dark)
+
+    def step(frames, yb, yp, yd, thresh):
+        return jfn(frames, yb, yp, yd, thresh, calib)
+
+    return step
+
+
+@lru_cache(maxsize=None)
+def _jitted_session_bscan_step_int8(mesh: Mesh, cfg: PipelineConfig,
+                                    batch: int, plan_treedef, spec_leaves):
+    from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
+
+    def body(fr, thresh, *plan_leaves):
+        plan = jax.tree_util.tree_unflatten(plan_treedef, plan_leaves)
+        mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
+        bscan, db, disp01 = _display_tail(jnp.sum(mags, axis=0), batch, cfg,
+                                          thresh=thresh)
+        return bscan, db, to_uint8(disp01)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", "ascan", None), P(), *spec_leaves),
+        out_specs=(P(None, "ascan"),) * 3,
+    ))
+
+
+def build_session_bscan_step_int8(mesh: Mesh, plan, cfg: PipelineConfig,
+                                  batch: int):
+    """int8-direct session step on the mesh: ``step(frames_u8, thresh) ->
+    (bscan, bscandb, bscandisp_u8)``; plan array leaves are traced so a
+    rebuilt plan after a 'b' capture reuses the compiled executable."""
+    leaves, treedef = jax.tree_util.tree_flatten(plan)
+    spec_leaves = tuple(jax.tree_util.tree_leaves(
+        _int8_plan_specs(plan), is_leaf=lambda x: isinstance(x, P)))
+    fn = _jitted_session_bscan_step_int8(mesh, cfg, batch, treedef,
+                                         spec_leaves)
+
+    def step(frames, thresh):
+        return fn(frames, thresh, *leaves)
+
+    return step
 
 
 @lru_cache(maxsize=None)

@@ -75,13 +75,19 @@ class Session:
                  sink: RunWriter | None = None,
                  camera: Callable[[str, Any], None] | None = None,
                  source: Any = None, method: str = "fused",
-                 calib: Calibration | None = None):
+                 calib: Calibration | None = None, mesh: Any = None):
         self.cfg = cfg
         self.variant = variant
         self.sink = sink
         self.camera = camera
         self.source = source
         self.method = method
+        # device mesh for the live data path (SURVEY §2.5/§5): with a mesh,
+        # process_group rides the sharded session steps
+        # (parallel.sharded.build_session_bscan_step[_int8]) — the moral
+        # successor of the reference acquisition loop
+        # (BscanFFT.cpp:946-1925) running as sharded B-scan batches
+        self.mesh = mesh
         self.calib = calib or Calibration.create(cfg)
         dt = jnp.dtype(cfg.dtype)
         oph, opw, ndisp = cfg.oph, cfg.opw, self.calib.ndisp
@@ -133,6 +139,7 @@ class Session:
         # 'b'/'p'/'o'/'r'/'t' capture rebinds data_yb/yp/yd and invalidates
         self._i8key: tuple | None = None
         self._i8plan = None
+        self._said_once: set[str] = set()   # one-shot status messages
         self.plugins: list[Any] = []
         self.status: list[str] = []
         # 5-second fps + frame max-intensity meter (the reference's Status
@@ -475,6 +482,21 @@ class Session:
         frame→magnitudes map must be affine in exact 8-bit counts."""
         if self.cfg.matmul_precision != "int8_direct" or self.method != "fused":
             return False
+        if self.variant == "peak":
+            # metrology gate (the Doppler policy, pipeline.ascan_complex
+            # docstring): the vibrometry plugin inverts SUB-dB peak-hold
+            # differences through the Bessel-null curve
+            # (plugins/vibrometry.py; BscanFFTpeak.cpp:466-738), and
+            # int8-direct's 0.03-0.3 dB display quantization would feed
+            # straight into the displacement estimate.  int8direct.py:
+            # "display mode only — metrology uses stay on 'highest'".
+            if "int8_direct" not in self._said_once:
+                self._said_once.add("int8_direct")
+                self._say("int8_direct is a display mode; the peak/"
+                          "vibrometry variant is metrology — staying on "
+                          "the f32 chain (use --precision highest for "
+                          "best displacement accuracy)")
+            return False
         if getattr(raw, "dtype", None) != np.uint8 or raw.ndim != 2:
             return False
         if self.jlockin:
@@ -611,15 +633,22 @@ class Session:
 
         self._tick_fps(frames[-1], n=n)
         groups = n // avg
-        farr = jnp.asarray(frames)
+        # stay on HOST memory until the placement is decided: the mesh path
+        # device_puts each group's slice with its sharding directly (one
+        # host→device transfer), instead of committing the whole batch to
+        # device 0 and resharding device→device
+        farr = np.asarray(frames)
         if (farr.ndim == 4 and farr.shape[-1] == 3
-                and farr.dtype == jnp.uint8 and cfg.channelnum < 3
+                and farr.dtype == np.uint8 and cfg.channelnum < 3
                 and cfg.matmul_precision == "int8_direct"):
             # webcam single-channel select (BscanFFTwebcam.cpp:1015-1039) is
             # a pure plane slice — the selected plane stays EXACT u8 camera
             # counts, so color sources ride int8-direct too.  Channel sum
             # (channelnum=3) rescales to float and stays on the f32 chain.
             farr = farr[..., 2 - cfg.channelnum]
+        if self.mesh is not None and self._mesh_ok(farr, avg):
+            return self._process_group_mesh(farr, groups, avg)
+        farr = jnp.asarray(farr)
         # the live app's log guard; strict-sim (1e-6) is excluded above
         if self._use_int8_direct(farr[0]):
             outs = _session_group_pipeline_int8(
@@ -645,6 +674,61 @@ class Session:
                 plugin.on_bscan(self, result)
             # ring-buffer toggle per completed group (BscanFFT.cpp:1487);
             # the rings stay empty here (save flags force the slow path)
+            self.zeroisactive = not self.zeroisactive
+            results.append(result)
+        return results
+
+    # ------------------------------------------------------------------
+    # mesh fast path: the live data path on the device mesh (the last seat
+    # of SURVEY §2.5/§5 — streaming ingest feeding sharded compute)
+    # ------------------------------------------------------------------
+
+    def _mesh_ok(self, farr, avg: int) -> bool:
+        """Whether this batch can ride the sharded session steps: frames
+        over 'data', rows over 'ascan' — the group and row counts must
+        divide the mesh axes, and color frames take the single-device
+        path (channel handling is host-side there)."""
+        if farr.ndim != 3:
+            return False
+        n_data = self.mesh.shape.get("data", 1)
+        n_ascan = self.mesh.shape.get("ascan", 1)
+        return avg % n_data == 0 and self.cfg.oph % n_ascan == 0
+
+    def _process_group_mesh(self, farr, groups: int, avg: int) -> list:
+        """One sharded device dispatch per averaging group: frames are
+        device_put with P('data','ascan',None) (the mesh counterpart of
+        the reference's GetQHYCCDLiveFrame ingest, BscanFFT.cpp:948) and
+        reconstructed by the cached sharded session step.  Numerically
+        identical to the single-device fast path
+        (tests/test_streaming.py::TestMeshStreaming pins it)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from fdoct_tpu.parallel.sharded import (
+            build_session_bscan_step, build_session_bscan_step_int8)
+
+        cfg = self.cfg
+        sh = NamedSharding(self.mesh, P("data", "ascan", None))
+        thresh = jnp.asarray(self.bscanthreshold, self.data_yb.dtype)
+        use_i8 = self._use_int8_direct(farr[0])
+        if use_i8:
+            step = build_session_bscan_step_int8(
+                self.mesh, self._int8_plan(), cfg, avg)
+        else:
+            step = build_session_bscan_step(
+                self.mesh, self.calib, cfg, self.method, avg,
+                dark=self.variant == "dark")
+        results = []
+        for g in range(groups):
+            fr = jax.device_put(farr[g * avg:(g + 1) * avg], sh)
+            if use_i8:
+                bscan, db, disp = step(fr, thresh)
+            else:
+                bscan, db, disp = step(fr, self.data_yb, self.data_yp,
+                                       self.data_yd, thresh)
+            result = BscanResult(bscan=bscan, bscandb=db,
+                                 bscandisp=np.asarray(disp),
+                                 index=self.indexi)
+            for plugin in self.plugins:
+                plugin.on_bscan(self, result)
             self.zeroisactive = not self.zeroisactive
             results.append(result)
         return results

@@ -132,14 +132,32 @@ def run_streaming(
     rate_fps: float | None = None,
     drop_oldest: bool = False,
     device=None,
+    sharding=None,
+    put: Callable | None = None,
 ) -> tuple[list, StreamStats]:
     """Pump ``n_batches`` through ``step`` with transfer/compute overlap.
 
     Issues device_put + step for the next batch before blocking on the
     previous result — the minimal two-deep software pipeline.  Returns
     (results, stats); stats.fps is the end-to-end ingest rate.
+
+    ``sharding``: a ``jax.sharding.NamedSharding`` (e.g. ``NamedSharding(
+    mesh, P('data', 'ascan', None))``) places each batch across the mesh in
+    ONE host→device_put — the ingest seam of the sharded B-scan steps
+    (parallel.sharded; SURVEY §5's "input pipeline that device_puts
+    interferogram batches", here batched across one host's chips).  When
+    given, it wins over ``device``; ``batch`` and the frame rows must
+    divide the mesh axes like ``parallel.shard_frames`` requires.
+
+    ``put``: full override of the host→device placement, ``put(host_batch)
+    -> device_array``.  The multi-host streaming path passes
+    ``jax.make_array_from_process_local_data(global_sharding, ·)`` here so
+    each process feeds ITS shard of a global array (examples/
+    multihost_stream_cscan.py); single-host callers never need it.
     """
-    device = device or jax.devices()[0]
+    device = sharding if sharding is not None else (device or jax.devices()[0])
+    if put is None:
+        put = lambda host: jax.device_put(host, device)  # noqa: E731
     streamer = FrameStreamer(source_frames, maxsize=4 * batch,
                              drop_oldest=drop_oldest, rate_fps=rate_fps).start()
     results: list = []
@@ -149,7 +167,7 @@ def run_streaming(
             host = streamer.get_batch(batch)
             if host is None:
                 break
-            dev_frames = jax.device_put(host, device)
+            dev_frames = put(host)
             out = step(dev_frames)
             if inflight is not None:
                 inflight.block_until_ready()

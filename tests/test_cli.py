@@ -184,6 +184,35 @@ class TestLive:
                    "--frames", "3"])
         assert rc == 0
 
+    def test_live_mesh_rides_sharded_steps(self, tmp_path, monkeypatch):
+        """fdoct live --mesh DxA: the live loop's batches go through
+        Session._process_group_mesh (the sharded session steps) — the live
+        data path on the mesh, VERDICT r3 item 1."""
+        import io
+
+        import fdoct_tpu.session as session_mod
+
+        cfg = PipelineConfig(width=256, height=40, binvalue=1, averages=4,
+                             numfftpoints=512, numdisplaypoints=128,
+                             lambdamin=816e-9, lambdamax=884e-9,
+                             dirdescr="mesh", dtype="float32")
+        ini = tmp_path / "mesh.ini"
+        write_ini(cfg, ini, "base")
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        calls = []
+        orig = session_mod.Session._process_group_mesh
+
+        def spy(self, *a, **k):
+            calls.append(1)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(session_mod.Session, "_process_group_mesh", spy)
+        rc = main(["live", "--config", str(ini), "--outdir", str(tmp_path),
+                   "--frames", "8", "--mesh", "4x2"])
+        assert rc == 0
+        assert calls, "live --mesh never reached the sharded session step"
+
 
 class TestSpinjVariant:
     def test_variant_spinj_maps_to_spinj_session(self, small_ini, tmp_path,

@@ -22,9 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_bscan_parity():
-    port = str(_free_port())
-    worker = str(HERE / "multihost_worker.py")
+def _run_two_procs(cmd_for_pid, ok_token: str):
     import os
     env = {**os.environ, "PYTHONPATH": f"{HERE.parent}:{HERE}"}
     # conftest forces 8 virtual devices per process; the 2-host emulation
@@ -32,8 +30,8 @@ def test_two_process_bscan_parity():
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
-    procs = [subprocess.Popen([sys.executable, worker, str(pid), port],
-                              env=env, stdout=subprocess.PIPE,
+    procs = [subprocess.Popen(cmd_for_pid(pid), env=env,
+                              stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
              for pid in (0, 1)]
     outs = []
@@ -49,5 +47,25 @@ def test_two_process_bscan_parity():
     if rc0 != 0 and "MISMATCH" not in err0:
         pytest.skip(f"distributed init unavailable: {err0[-500:]}")
     assert rc0 == 0, err0[-1000:]
-    assert "MULTIHOST_OK" in out0
+    assert ok_token in out0
     assert outs[1][0] == 0, outs[1][2][-1000:]
+
+
+def test_two_process_bscan_parity():
+    port = str(_free_port())
+    worker = str(HERE / "multihost_worker.py")
+    _run_two_procs(lambda pid: [sys.executable, worker, str(pid), port],
+                   "MULTIHOST_OK")
+
+
+def test_two_process_streaming_cscan():
+    """VERDICT r3 item 8: two processes each STREAM frames into their mesh
+    shard (run_streaming with a make_array_from_process_local_data put
+    hook), the sharded C-scan step's all_gather assembles the volume, and
+    process 0 checks parity vs a single-process reconstruction."""
+    port = str(_free_port())
+    script = str(HERE.parent / "examples" / "multihost_stream_cscan.py")
+    _run_two_procs(
+        lambda pid: [sys.executable, script, "--pid", str(pid),
+                     "--port", port],
+        "STREAM_CSCAN_OK")

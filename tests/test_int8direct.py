@@ -326,6 +326,25 @@ class TestSessionIntegration:
         s.process(frames[0])
         assert calls
 
+    def test_peak_variant_gated_off_int8(self, data):
+        """VERDICT r3 weak-3: the vibrometry (peak) variant is metrology —
+        its plugin inverts sub-dB peak-hold differences through the
+        Bessel-null curve (BscanFFTpeak.cpp:466-738), so int8-direct's
+        display-grade quantization must never feed it.  The session stays
+        on the f32 chain (mirroring the Doppler policy) and says so."""
+        from fdoct_tpu.session import Session
+        cfg, frames, bg, pi = data
+        s = Session(cfg, variant="peak")
+        s.data_yb = jnp.asarray(bg, jnp.float32)
+        s.data_yp = jnp.asarray(pi, jnp.float32)
+        assert not s._use_int8_direct(frames[0])
+        for f in frames:
+            s.process(f)
+        assert s._i8plan is None          # the fast path never engaged
+        assert any("display mode" in m for m in s.status)
+        # the same config on a non-metrology variant DOES ride int8
+        assert self._mk_session(cfg, bg, pi)._use_int8_direct(frames[0])
+
     def test_fallback_when_unsupported(self, data):
         """A config that defeats the folding (mediann) silently rides the
         normal f32 chain — int8_direct is an optimization, not a mode."""

@@ -6,6 +6,7 @@ loop (BscanFFT.cpp:1211-1255) and the helpers at BscanFFT.cpp:88-97, 173-178.
 
 from __future__ import annotations
 
+from jax import lax
 import jax.numpy as jnp
 
 # The reference converts natural log to dB with the literal constant 2.303
@@ -36,6 +37,24 @@ def normalize_minmax(x: jnp.ndarray, lo: float = 0.0, hi: float = 1.0,
     rng = xmax - xmin
     safe = jnp.where(rng == 0, 1.0, rng)
     return jnp.where(rng == 0, lo, (x - xmin) / safe * (hi - lo) + lo)
+
+
+def minmax_pair(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Global (min, max) of ``x`` in ONE variadic reduction.
+
+    ``jnp.min`` + ``jnp.max`` emit two separate reduce ops that XLA does
+    not always fuse into one pass on TPU — on the B-scan display epilogue
+    the pair showed up as two of the ~5 small kernel launches bounding the
+    int8 scan shape (BENCH.md display-epilogue note).  min and max are
+    associative and commutative, so the pair-reduce returns bit-identical
+    values to the separate reductions in any order.
+    """
+    lo, hi = lax.reduce(
+        (x, x),
+        (jnp.asarray(jnp.inf, x.dtype), jnp.asarray(-jnp.inf, x.dtype)),
+        lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])),
+        tuple(range(x.ndim)))
+    return lo, hi
 
 
 def normalize_rows(x: jnp.ndarray, lo: float = 0.0, hi: float = 1.0) -> jnp.ndarray:

@@ -34,7 +34,7 @@ from fdoct_tpu.ops import (
     resample_klinear, smooth_moving_average, to_db, to_uint8, zeropad_rowwise,
     threshold_floor,
 )
-from fdoct_tpu.ops.scale import clamp_pixel, mask_dc_rows
+from fdoct_tpu.ops.scale import clamp_pixel
 
 
 class BscanOutputs(NamedTuple):
@@ -278,15 +278,30 @@ def form_bscan(mag_sum: jnp.ndarray, cfg: PipelineConfig,
     (BscanFFT.cpp:1222), 1e-6 in the simulator (BscanFFTsim.cpp:949).
     """
     thresh = cfg.bscanthreshold if bscanthreshold is None else bscanthreshold
-    bscan = mag_sum.T / averages                      # transpose, ÷N (1220-1221)
-    bscan = bscan + eps                               # log guard (1222)
-    bscandb = to_db(bscan, eps=0.0, compat=cfg.compat)  # 20·ln/2.303 (1235-1237)
-    bscandb = mask_dc_rows(bscandb)                   # rows 0,1 ← row 4 (1239-1240)
-    disp = threshold_floor(bscandb, thresh)           # display floor (1247)
+    # The chain runs UNTRANSPOSED (rows = lateral, cols = depth) so the
+    # global min/max reduction fuses with the elementwise dB chain and the
+    # transpose sinks into the final display kernel; with the one-pass
+    # minmax_pair this collapses the ~5-launch epilogue that bounded the
+    # int8 scan shape to 2 kernels (BENCH.md display-epilogue fusion).
+    # Values are bit-identical to the transposed-first formulation: every
+    # step is elementwise, min/max are order-invariant, and pixel (5,5) is
+    # symmetric under transpose.
+    bscan_u = mag_sum / averages + eps                # ÷N + log guard (1220-1222)
+    db_u = to_db(bscan_u, eps=0.0, compat=cfg.compat)   # 20·ln/2.303 (1235-1237)
+    depth = jnp.arange(db_u.shape[-1])[None, :]
+    # mask_dc_rows, untransposed: depth cols 0,1 ← col 4 (1239-1240)
+    db_u = jnp.where(depth < 2, db_u[..., 4:5], db_u)
+    disp_u = threshold_floor(db_u, thresh)            # display floor (1247)
     if cfg.clampupper:
-        disp = clamp_pixel(disp, cfg.clampupperdb)    # absolute-scale pixel (1252)
-    disp = normalize_minmax(disp, 0.0, 1.0)           # (1254)
-    return BscanOutputs(bscan=bscan, bscandb=bscandb, bscandisp=to_uint8(disp))
+        disp_u = clamp_pixel(disp_u, cfg.clampupperdb)  # absolute-scale px (1252)
+    from fdoct_tpu.ops.scale import minmax_pair
+    lo, hi = minmax_pair(disp_u)                      # ONE pass, both scalars
+    rng = hi - lo
+    safe = jnp.where(rng == 0, 1.0, rng)              # NORM_MINMAX semantics (1254)
+    disp = jnp.where(rng == 0, 0.0, (jnp.swapaxes(disp_u, -1, -2) - lo) / safe)
+    return BscanOutputs(bscan=jnp.swapaxes(bscan_u, -1, -2),
+                        bscandb=jnp.swapaxes(db_u, -1, -2),
+                        bscandisp=to_uint8(disp))
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "averages", "dtype"))

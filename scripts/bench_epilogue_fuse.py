@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""TPU A/B: display-epilogue fusion (VERDICT r3 item 2).
+
+The int8-direct scan shape was bounded by a ~5-launch display epilogue
+(bench_display_stages: transpose, dB chain, TWO global min/max reductions,
+normalize+u8) costing 30-40% of the banked int8 multiplier.  form_bscan now
+runs the chain untransposed with a one-pass variadic (min,max) reduce so the
+whole epilogue collapses to ~2 kernels (pipeline.form_bscan, ops.minmax_pair).
+
+This harness interleaves, in ONE run (same chip-load window):
+  A  recon-only int8 scan      — the ceiling (no display at all)
+  B  OLD epilogue int8 scan    — transposed-first, separate min/max
+  C  NEW epilogue int8 scan    — the shipped form_bscan
+and the same B/C pair for the f32 headline shape.  Success criterion from
+the verdict: display-inclusive >= 75% of reconstruct-only (was ~65%).
+
+Honest-timing rules (bench.py docstring): scalar-fetch completion,
+differenced scan lengths, on-device frame generation.
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+ROWS, COLS, NFFT, NDISP, BATCH = 512, 2048, 2048, 512, 8
+G1, G2 = 64, 256
+REPEATS = 6
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fdoct_tpu.calibration import Calibration
+    from fdoct_tpu.config import PipelineConfig
+    from fdoct_tpu.int8direct import Int8DirectPlan, reconstruct_int8_direct
+    from fdoct_tpu.ops import (normalize_minmax, threshold_floor, to_db,
+                               to_uint8)
+    from fdoct_tpu.ops.scale import mask_dc_rows
+    from fdoct_tpu.pipeline import form_bscan, reconstruct
+
+    print(f"devices: {jax.devices()}", flush=True)
+    cfg = PipelineConfig(
+        width=COLS, height=ROWS, binvalue=1, averages=BATCH,
+        numfftpoints=NFFT, numdisplaypoints=NDISP,
+        lambdamin=816e-9, lambdamax=884e-9, dtype="float32", compat=True)
+    calib = Calibration.create(cfg)
+
+    rng = np.random.default_rng(0)
+    lam = np.linspace(0, 1, COLS)
+    spec = np.exp(-(((lam - 0.5) / 0.18) ** 2)) * 180.0 + 12.0
+    gain = 1.0 + 0.05 * np.sin(np.linspace(0, 3, ROWS))
+    bg_np = gain[:, None] * spec[None, :] * (
+        1 + 0.003 * rng.standard_normal((ROWS, COLS)))
+    plan = Int8DirectPlan.create(calib, cfg, bg_np, np.zeros((ROWS, COLS)))
+    bg = jnp.full((ROWS, COLS), 128.0, jnp.float32)
+    pi = jnp.zeros((ROWS, COLS), jnp.float32)
+
+    def old_epilogue(mag_sum):
+        """The round-3 form_bscan formulation: transpose first, separate
+        min/max reductions (kept here verbatim as the A/B baseline)."""
+        bscan = mag_sum.T / BATCH + 1e-5
+        db = to_db(bscan, eps=0.0, compat=cfg.compat)
+        db = mask_dc_rows(db)
+        disp = threshold_floor(db, cfg.bscanthreshold)
+        return to_uint8(normalize_minmax(disp, 0.0, 1.0))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_s8(g):
+        return (jax.random.randint(
+            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
+            jnp.int32) - 128).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def gen_u8(g):
+        return jax.random.randint(
+            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
+            jnp.int32).astype(jnp.uint8)
+
+    def scan_of(group_fn):
+        @jax.jit
+        def run(all_fr):
+            def step(c, fr):
+                return c + group_fn(fr).sum(), 0.0
+            return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
+        return run
+
+    i8_recon = scan_of(lambda fr: reconstruct_int8_direct(fr, plan)
+                       .sum(axis=0))
+    i8_old = scan_of(lambda fr: old_epilogue(
+        reconstruct_int8_direct(fr, plan).sum(axis=0)).astype(jnp.float32))
+    i8_new = scan_of(lambda fr: form_bscan(
+        reconstruct_int8_direct(fr, plan).sum(axis=0), cfg,
+        averages=BATCH).bscandisp.astype(jnp.float32))
+
+    f32_old = scan_of(lambda fr: old_epilogue(
+        reconstruct(fr, bg, pi, calib, cfg, "fused").sum(axis=0))
+        .astype(jnp.float32))
+    f32_new = scan_of(lambda fr: form_bscan(
+        reconstruct(fr, bg, pi, calib, cfg, "fused").sum(axis=0), cfg,
+        averages=BATCH).bscandisp.astype(jnp.float32))
+
+    variants = [("i8_recon_only", i8_recon, gen_s8),
+                ("i8_disp_OLD", i8_old, gen_s8),
+                ("i8_disp_NEW", i8_new, gen_s8),
+                ("f32_disp_OLD", f32_old, gen_u8),
+                ("f32_disp_NEW", f32_new, gen_u8)]
+
+    # warm/compile everything first so the measured loop is pure execution
+    frames = {}
+    for g in (G1, G2):
+        frames[("s8", g)] = gen_s8(g)
+        frames[("s8", g)].block_until_ready()
+        frames[("u8", g)] = gen_u8(g)
+        frames[("u8", g)].block_until_ready()
+    for name, run, gen in variants:
+        kind = "s8" if gen is gen_s8 else "u8"
+        t0 = time.perf_counter()
+        float(run(frames[(kind, G1)]))
+        float(run(frames[(kind, G2)]))
+        print(f"[{name}] compiled in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+
+    # INTERLEAVED repeats: one sample of every variant per sweep, so every
+    # variant sees the same chip-load window and the RATIOS are trustworthy
+    samples = {name: {G1: [], G2: []} for name, _, _ in variants}
+    for _ in range(REPEATS):
+        for g in (G1, G2):
+            for name, run, gen in variants:
+                kind = "s8" if gen is gen_s8 else "u8"
+                t0 = time.perf_counter()
+                float(run(frames[(kind, g)]))
+                samples[name][g].append(time.perf_counter() - t0)
+
+    pers = {}
+    for name, _, _ in variants:
+        t1 = float(np.median(samples[name][G1]))
+        t2 = float(np.median(samples[name][G2]))
+        per = (t2 - t1) / (G2 - G1)
+        pers[name] = per
+        print(f"[{name}] {per*1e3:.3f} ms/group = "
+              f"{BATCH*ROWS/per/1e6:.2f} M ascans/s", flush=True)
+
+    r = pers
+    print(f"\nint8 display-inclusive/recon-only: "
+          f"OLD {r['i8_recon_only']/r['i8_disp_OLD']*100:.1f}%  "
+          f"NEW {r['i8_recon_only']/r['i8_disp_NEW']*100:.1f}%  "
+          f"(goal >= 75%)", flush=True)
+    print(f"epilogue speedup: int8 {r['i8_disp_OLD']/r['i8_disp_NEW']:.3f}x, "
+          f"f32 {r['f32_disp_OLD']/r['f32_disp_NEW']:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,29 +124,90 @@ class Int8DirectPlan:
     oq_im: Any = None        # (opw, ndisp) int8
     s_re: Any = None         # (ndisp,) f32 dequant scales
     s_im: Any = None
-    row_gain_inv: Any = None  # (oph, 1) f32 — 1/u[r]
+    row_gain_inv: Any = None  # (oph, 1) f32 — 1/u[r] (rank=1) / u1[r] (rank=2)
     const_re: Any = None     # (oph, ndisp) f32 — (128*colsum(Mv) - (pi+dark) @ Mv) / u[r]
     const_im: Any = None
     bg_rank1_resid: Any = None  # f32 scalar diagnostic (host-side; not traced)
+    # rank-2 reciprocal fold (create(rank=2), the VERDICT r3 item-6
+    # experiment): second quantized operator pair for the top-2 SVD of
+    # 1/bg.  None for the production rank-1 plan — reconstruct adds the
+    # second s8 matmul pair only when present (2x matmul cost; BENCH.md
+    # 'rank-2 fold' section for the measured tradeoff and decision).
+    oq2_re: Any = None       # (opw, ndisp) int8 — quantized diag(v2) @ M
+    oq2_im: Any = None
+    s2_re: Any = None        # (ndisp,) f32
+    s2_im: Any = None
+    row_gain2: Any = None    # (oph, 1) f32 — u2[r]
 
     @classmethod
     def create(cls, calib: Calibration, cfg: PipelineConfig,
-               background, pi_frame, dark_frame=None) -> "Int8DirectPlan":
+               background, pi_frame, dark_frame=None,
+               rank: int = 1) -> "Int8DirectPlan":
         """Fold bg/pi/dark into quantized operator tables (host, float64).
 
         Requires the int8-direct preconditions — raise early otherwise so a
         mis-configured session fails loudly at plan-build time, not with a
-        silently wrong display:
+        silently wrong display.
+
+        ``rank=2`` folds the top-2 SVD of the RECIPROCAL background
+        instead of the rank-1 bg factorization: two quantized operator
+        pairs, 4 s8 matmuls per frame (2x matmul cost) — measured 6-10x
+        lower fold residual on structured non-rank-1 backgrounds
+        (two-component source spectra, row-dependent mixing), noise-floor-
+        limited otherwise.  See BENCH.md 'rank-2 fold' for the measured
+        speed/accuracy tradeoff and the bank-or-close decision.
         """
         supported, why = int8_direct_supported(cfg)
         if not supported:
             raise ValueError(f"int8_direct unsupported for this config: {why}")
+        if rank not in (1, 2):
+            raise ValueError(f"rank must be 1 or 2, got {rank}")
         M_re = np.asarray(calib.op_re, np.float64)   # (opw, ndisp)
         M_im = np.asarray(calib.op_im, np.float64)
         bg = np.asarray(background, np.float64)
         pi = np.asarray(pi_frame, np.float64)
         if dark_frame is not None:
             pi = pi + np.asarray(dark_frame, np.float64)
+        f32 = jnp.float32
+        common = dict(oph=bg.shape[0], opw=M_re.shape[0],
+                      ndisp=M_re.shape[1])
+
+        if rank == 2:
+            binv = 1.0 / np.where(bg == 0.0, 1e-12, bg)
+            U, S, Vt = np.linalg.svd(binv, full_matrices=False)
+            u1, v1 = U[:, 0] * S[0], Vt[0]
+            u2, v2 = U[:, 1] * S[1], Vt[1]
+            resid = float(np.linalg.norm(binv - np.outer(u1, v1)
+                                         - np.outer(u2, v2))
+                          / (np.linalg.norm(binv) + 1e-300))
+            Mv1_re, Mv1_im = M_re * v1[:, None], M_im * v1[:, None]
+            Mv2_re, Mv2_im = M_re * v2[:, None], M_im * v2[:, None]
+            oq_re, s_re = _quant_cols(Mv1_re)
+            oq_im, s_im = _quant_cols(Mv1_im)
+            oq2_re, s2_re = _quant_cols(Mv2_re)
+            oq2_im, s2_im = _quant_cols(Mv2_im)
+            # the pi/dark correction is a HOST-side precompute — use the
+            # exact reciprocal, no fold approximation needed; the +128 bias
+            # passes through both folded operators' exact colsums
+            bias_re = 128.0 * (np.outer(u1, Mv1_re.sum(axis=0))
+                               + np.outer(u2, Mv2_re.sum(axis=0)))
+            bias_im = 128.0 * (np.outer(u1, Mv1_im.sum(axis=0))
+                               + np.outer(u2, Mv2_im.sum(axis=0)))
+            const_re = bias_re - (pi * binv) @ M_re
+            const_im = bias_im - (pi * binv) @ M_im
+            return cls(
+                **common,
+                oq_re=jnp.asarray(oq_re), oq_im=jnp.asarray(oq_im),
+                s_re=jnp.asarray(s_re, f32), s_im=jnp.asarray(s_im, f32),
+                row_gain_inv=jnp.asarray(u1[:, None], f32),
+                oq2_re=jnp.asarray(oq2_re), oq2_im=jnp.asarray(oq2_im),
+                s2_re=jnp.asarray(s2_re, f32), s2_im=jnp.asarray(s2_im, f32),
+                row_gain2=jnp.asarray(u2[:, None], f32),
+                const_re=jnp.asarray(const_re, f32),
+                const_im=jnp.asarray(const_im, f32),
+                bg_rank1_resid=jnp.asarray(resid, f32),
+            )
+
         u, v, resid = rank1_factor(bg)
         Mv_re = M_re / v[:, None]
         Mv_im = M_im / v[:, None]
@@ -158,9 +219,8 @@ class Int8DirectPlan:
         # colsum) and the pi/dark correction, scaled by the per-row gain
         const_re = (128.0 * Mv_re.sum(axis=0)[None, :] - pi @ Mv_re) * uinv
         const_im = (128.0 * Mv_im.sum(axis=0)[None, :] - pi @ Mv_im) * uinv
-        f32 = jnp.float32
         return cls(
-            oph=bg.shape[0], opw=M_re.shape[0], ndisp=M_re.shape[1],
+            **common,
             oq_re=jnp.asarray(oq_re), oq_im=jnp.asarray(oq_im),
             s_re=jnp.asarray(s_re, f32), s_im=jnp.asarray(s_im, f32),
             row_gain_inv=jnp.asarray(uinv, f32),
@@ -230,4 +290,12 @@ def reconstruct_int8_direct(frames_s8: jnp.ndarray,
         + plan.const_re
     im = (acc_im.astype(jnp.float32) * plan.s_im) * plan.row_gain_inv \
         + plan.const_im
+    if plan.oq2_re is not None:
+        # rank-2 reciprocal fold: second s8 matmul pair (create(rank=2))
+        acc2_re = jnp.matmul(frames_s8, plan.oq2_re,
+                             preferred_element_type=jnp.int32)
+        acc2_im = jnp.matmul(frames_s8, plan.oq2_im,
+                             preferred_element_type=jnp.int32)
+        re = re + (acc2_re.astype(jnp.float32) * plan.s2_re) * plan.row_gain2
+        im = im + (acc2_im.astype(jnp.float32) * plan.s2_im) * plan.row_gain2
     return jnp.sqrt(re * re + im * im)

@@ -185,6 +185,51 @@ class TestNumerics:
         signal = ref_db > ref_db.max() - 30.0
         assert d[signal].max() < 3.0, d[signal].max()   # bounded, not equiv
 
+    def test_rank2_fold_recovers_structured_backgrounds(self, data):
+        """The VERDICT r3 item-6 measurement, pinned: on a STRUCTURED
+        non-rank-1 background (two-component source spectrum with
+        row-dependent mixing — the case the rank-1 fold genuinely cannot
+        represent, unlike full-rank noise), create(rank=2) folds the top-2
+        SVD of the reciprocal and restores display-grade accuracy where
+        rank-1 degrades to multiple dB."""
+        cfg, frames, _, pi = data
+        R, C = 32, 256
+        lam = np.linspace(0, 1, C)
+        spec1 = np.exp(-(((lam - 0.45) / 0.15) ** 2)) * 180.0 + 12.0
+        spec2 = np.exp(-(((lam - 0.65) / 0.08) ** 2)) * 120.0
+        g1 = 1.0 + 0.05 * np.sin(np.linspace(0, 3, R))
+        g2 = np.linspace(0.0, 1.0, R)
+        rng = np.random.default_rng(5)
+        bg = np.maximum(
+            (g1[:, None] * spec1[None, :] + 0.2 * g2[:, None] * spec2[None, :])
+            * (1 + 0.003 * rng.standard_normal((R, C))), 1.0)
+
+        cfg64 = cfg.replace(dtype="float64", matmul_precision="default")
+        calib64 = Calibration.create(cfg64, dtype="float64")
+        mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg, jnp.float64),
+                           jnp.asarray(pi, jnp.float64), calib64, cfg64,
+                           method="gather")
+        ref_db = np.asarray(form_bscan(mags.sum(0), cfg64, 4).bscandb)
+        signal = ref_db > ref_db.max() - 30.0
+        calib = Calibration.create(cfg)
+
+        p1 = Int8DirectPlan.create(calib, cfg, bg, pi, rank=1)
+        p2 = Int8DirectPlan.create(calib, cfg, bg, pi, rank=2)
+        # the rank-2 reciprocal fold captures the structure: resid drops
+        # to the noise floor (>=4x below rank-1 on this background)
+        assert float(p2.bg_rank1_resid) < float(p1.bg_rank1_resid) / 4
+        errs = {}
+        for name, p in (("r1", p1), ("r2", p2)):
+            m = reconstruct_int8_direct(jnp.asarray(to_s8(frames)), p)
+            db = np.asarray(form_bscan(m.sum(0), cfg, 4).bscandb)
+            errs[name] = np.abs(db - ref_db)[signal].max()
+        # display-grade again: the 0.3% bg noise floor bounds rank-2 at
+        # ~0.9 dB on this 32-row shape (0.4 dB pure-fold + quantization;
+        # the flagship 512x2048 shape measures 0.39 dB max — BENCH.md),
+        # where rank-1 is 5+ dB
+        assert errs["r2"] < 1.5, errs
+        assert errs["r2"] < errs["r1"] / 3, errs  # and materially better
+
     def test_matches_f32_fused_magnitudes(self, data):
         """Magnitude-domain agreement with the f32 fused path (the exact
         function the folding re-expresses)."""
@@ -344,6 +389,42 @@ class TestSessionIntegration:
         assert any("display mode" in m for m in s.status)
         # the same config on a non-metrology variant DOES ride int8
         assert self._mk_session(cfg, bg, pi)._use_int8_direct(frames[0])
+
+    def test_high_resid_structured_escalates_to_rank2(self, data):
+        """The high-residual policy (VERDICT r3 weak-4, closed by
+        measurement): a structured non-rank-1 background above
+        INT8_RESID_ACT escalates to the rank-2 fold instead of serving a
+        degraded rank-1 display."""
+        cfg, frames, _, pi = data
+        R, C = 32, 256
+        lam = np.linspace(0, 1, C)
+        spec1 = np.exp(-(((lam - 0.45) / 0.15) ** 2)) * 180.0 + 12.0
+        spec2 = np.exp(-(((lam - 0.65) / 0.08) ** 2)) * 120.0
+        g2 = np.linspace(0.0, 1.0, R)
+        bg = np.maximum(spec1[None, :] * (1.0 + 0.0 * g2[:, None])
+                        + 0.25 * g2[:, None] * spec2[None, :], 1.0)
+        s = self._mk_session(cfg, bg, pi)
+        assert s._use_int8_direct(frames[0])
+        plan = s._int8_plan()
+        assert plan is not None and plan.oq2_re is not None   # rank-2
+        assert any("escalated to the rank-2" in m for m in s.status)
+        # and it actually processes frames on the fast path
+        r = s.process_group(np.concatenate([frames, frames]))
+        assert len(r) == 2
+
+    def test_high_resid_noise_falls_back_to_f32(self, data):
+        """Noise-dominated high residual: no low-rank fold is
+        display-grade, so the session refuses the plan and the frame path
+        rides the exact f32 chain."""
+        cfg, frames, bg, pi = data
+        rng = np.random.default_rng(17)
+        bg_noisy = bg * (1.0 + 0.05 * rng.standard_normal(bg.shape))
+        s = self._mk_session(cfg, np.maximum(bg_noisy, 1.0), pi)
+        assert not s._use_int8_direct(frames[0])
+        assert s._int8_plan() is None
+        assert any("falling back to the exact f32" in m for m in s.status)
+        outs = [r for f in frames if (r := s.process(f)) is not None]
+        assert len(outs) == 1                  # f32 chain still delivers
 
     def test_fallback_when_unsupported(self, data):
         """A config that defeats the folding (mediann) silently rides the

@@ -124,6 +124,26 @@ def main() -> None:
             return c + group_step(fr).sum(), 0.0
         return jax.lax.scan(step, jnp.float32(0), all_frames)[0]
 
+    # load-normalized reference kernel (round-4 policy, VERDICT r3 weak-5):
+    # a bare bf16 matmul pair of the headline shape, scan-chained exactly
+    # like the pipeline.  Interleaved with the headline inside the SAME
+    # repeat loop, its time sees the same shared-chip load window, so
+    # headline/ref is a load-normalized ratio comparable across rounds
+    # where the raw number swings ±30% with neighbors' work.
+    op_ref_bf16 = jnp.asarray(calib.op_re, jnp.bfloat16)
+    op_im_bf16 = jnp.asarray(calib.op_im, jnp.bfloat16)
+
+    @jax.jit
+    def ref_groups(all_frames):
+        def step(c, fr):
+            z = fr.astype(jnp.bfloat16)
+            re = jnp.matmul(z, op_ref_bf16,
+                            preferred_element_type=jnp.float32)
+            im = jnp.matmul(z, op_im_bf16,
+                            preferred_element_type=jnp.float32)
+            return c + re.sum() + im.sum(), 0.0
+        return jax.lax.scan(step, jnp.float32(0), all_frames)[0]
+
     @jax.jit
     def batched_groups(all_frames):
         # flat formulation: ONE matmul over every frame of every group,
@@ -135,18 +155,31 @@ def main() -> None:
             lambda m: form_bscan(m, cfg, averages=BATCH).bscandisp)(msum)
         return disp.sum()
 
-    def measure(fn, g, gen=None):
+    def measure(fn, g, gen=None, pair_with=None):
+        """Median-of-REPEATS at scan length ``g``.  With ``pair_with``, a
+        second jitted fn is timed ALTERNATELY inside the same repeat loop
+        (one sample each per sweep) so both see the identical chip-load
+        window; returns ((med, spread), (med_pair, spread_pair))."""
         frames = (gen or gen_frames)(g)
         frames.block_until_ready()
         float(fn(frames))                     # compile + warm
-        samples = []
+        if pair_with is not None:
+            float(pair_with(frames))
+        samples, psamples = [], []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             float(fn(frames))                 # fetch == real completion
             samples.append(time.perf_counter() - t0)
+            if pair_with is not None:
+                t0 = time.perf_counter()
+                float(pair_with(frames))
+                psamples.append(time.perf_counter() - t0)
         med = float(np.median(samples))
         spread = (max(samples) - min(samples)) / med
-        return med, spread
+        if pair_with is None:
+            return med, spread
+        pmed = float(np.median(psamples))
+        return (med, spread), (pmed, (max(psamples) - min(psamples)) / pmed)
 
     def per_group_of(name, fn, g1, g2, gen=None, fatal=True):
         (t1, s1), (t2, s2) = measure(fn, g1, gen), measure(fn, g2, gen)
@@ -171,8 +204,31 @@ def main() -> None:
 
     # the batched shape materializes the whole f32 ratio intermediate
     # (G·8·512·2048·4 B); differencing sizes stay ≤64 groups (2 GB) so the
-    # measurement reflects MXU rate, not HBM spill at artificial depths
-    per_group = per_group_of("scan (HEADLINE)", scan_groups, G1, G2)
+    # measurement reflects MXU rate, not HBM spill at artificial depths.
+    # The headline is timed INTERLEAVED with the bare-matmul reference
+    # kernel; headline/ref is the load-normalized ratio (see ref_groups).
+    (h1, hs1), (r1, _) = measure(scan_groups, G1, pair_with=ref_groups)
+    (h2, hs2), (r2, _) = measure(scan_groups, G2, pair_with=ref_groups)
+    if not (h2 > h1 > 0):
+        print(f"FATAL: inconsistent scan (HEADLINE) timings t({G1})={h1:.4f}s "
+              f"t({G2})={h2:.4f}s — refusing to report a nonsense metric",
+              file=sys.stderr)
+        raise SystemExit(1)
+    per_group = (h2 - h1) / (G2 - G1)
+    print(f"info: scan (HEADLINE) per-group {per_group*1e3:.3f} ms "
+          f"(median of {REPEATS}; spread {hs1*100:.1f}%/{hs2*100:.1f}%)",
+          file=sys.stderr)
+    ref_ratio = None
+    if r2 > r1 > 0:
+        per_ref = (r2 - r1) / (G2 - G1)
+        ref_ratio = per_group / per_ref
+        print(f"info: ref bare-matmul per-group {per_ref*1e3:.3f} ms; "
+              f"load-normalized headline/ref = {ref_ratio:.3f}",
+              file=sys.stderr)
+    else:
+        print(f"info: ref kernel timings inconsistent "
+              f"(t({G1})={r1:.4f}s t({G2})={r2:.4f}s); ratio skipped",
+              file=sys.stderr)
     try:
         per_batched = per_group_of("batched", batched_groups, 16, 64,
                                    fatal=False)
@@ -259,6 +315,11 @@ def main() -> None:
         "unit": "ascans/s",
         "vs_baseline": round(ascans / base, 2),
     }
+    if ref_ratio is not None:
+        # load-normalized row: headline time / bare-bf16-matmul time of the
+        # same shape, measured interleaved — stable where the raw number
+        # swings with shared-chip load (BENCH.md round-4 policy)
+        out["headline_ref_ratio"] = round(ref_ratio, 3)
     # alongside rows (display modes / offline shape), not the headline
     if per_batched is not None:
         out["batched_ascans_per_sec"] = round(BATCH * ROWS / per_batched, 1)

@@ -38,6 +38,7 @@ tests/test_int8direct.py; display mode only — metrology uses stay on
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import numpy as np
@@ -299,3 +300,40 @@ def reconstruct_int8_direct(frames_s8: jnp.ndarray,
         re = re + (acc2_re.astype(jnp.float32) * plan.s2_re) * plan.row_gain2
         im = im + (acc2_im.astype(jnp.float32) * plan.s2_im) * plan.row_gain2
     return jnp.sqrt(re * re + im * im)
+
+
+@functools.partial(jax.jit, static_argnames=("averages", "compat", "eps",
+                                             "interpret"))
+def reconstruct_bscan_int8_fused(frames_s8: jnp.ndarray, plan: Int8DirectPlan,
+                                 thresh, averages: int, compat: bool = True,
+                                 eps: float = 1e-5,
+                                 interpret: bool = False):
+    """One averaged displayed B-scan with the s8 matmuls AND the display
+    epilogue fused in a single Pallas kernel
+    (ops.pallas_kernels.int8_bscan_display_fused) plus one XLA
+    normalize+transpose+u8 tail — the minimal-launch form of
+    ``form_bscan(reconstruct_int8_direct(...).sum(0))`` for the
+    scan-chained live shape.  rank-1 plans only, no clampupper (callers
+    gate and fall back to the XLA chain otherwise).
+
+    Returns (bscandb (ndisp, rows), bscandisp uint8 (ndisp, rows)) —
+    values match the XLA chain at f32-reassociation tolerance
+    (tests/test_int8direct.py::TestFusedEpilogue pins it).
+    """
+    from fdoct_tpu.ops.pallas_kernels import int8_bscan_display_fused
+
+    assert plan.oq2_re is None, "pallas path is rank-1 only"
+    denom = 2.303 if compat else float(np.log(10.0))
+    db_u, mn, mx = int8_bscan_display_fused(
+        frames_s8, plan.oq_re, plan.oq_im, plan.s_re, plan.s_im,
+        plan.row_gain_inv, plan.const_re, plan.const_im,
+        jnp.asarray(thresh, jnp.float32), averages=averages, eps=eps,
+        denom=denom, interpret=interpret)
+    lo = jnp.min(mn)
+    hi = jnp.max(mx)
+    rng = hi - lo
+    safe = jnp.where(rng == 0, 1.0, rng)
+    disp_u = jnp.maximum(db_u, jnp.asarray(thresh, jnp.float32))
+    disp01 = jnp.where(rng == 0, 0.0, (disp_u.T - lo) / safe)
+    u8 = jnp.clip(jnp.round(disp01 * 255.0), 0, 255).astype(jnp.uint8)
+    return db_u.T, u8

@@ -99,6 +99,11 @@ def main() -> None:
         reconstruct_int8_direct(fr, plan).sum(axis=0), cfg,
         averages=BATCH).bscandisp.astype(jnp.float32))
 
+    from fdoct_tpu.int8direct import reconstruct_bscan_int8_fused
+    i8_pallas = scan_of(lambda fr: reconstruct_bscan_int8_fused(
+        fr, plan, cfg.bscanthreshold, averages=BATCH,
+        compat=cfg.compat)[1].astype(jnp.float32))
+
     f32_old = scan_of(lambda fr: old_epilogue(
         reconstruct(fr, bg, pi, calib, cfg, "fused").sum(axis=0))
         .astype(jnp.float32))
@@ -109,6 +114,7 @@ def main() -> None:
     variants = [("i8_recon_only", i8_recon, gen_s8),
                 ("i8_disp_OLD", i8_old, gen_s8),
                 ("i8_disp_NEW", i8_new, gen_s8),
+                ("i8_disp_PALLAS", i8_pallas, gen_s8),
                 ("f32_disp_OLD", f32_old, gen_u8),
                 ("f32_disp_NEW", f32_new, gen_u8)]
 
@@ -151,8 +157,10 @@ def main() -> None:
     print(f"\nint8 display-inclusive/recon-only: "
           f"OLD {r['i8_recon_only']/r['i8_disp_OLD']*100:.1f}%  "
           f"NEW {r['i8_recon_only']/r['i8_disp_NEW']*100:.1f}%  "
+          f"PALLAS {r['i8_recon_only']/r['i8_disp_PALLAS']*100:.1f}%  "
           f"(goal >= 75%)", flush=True)
     print(f"epilogue speedup: int8 {r['i8_disp_OLD']/r['i8_disp_NEW']:.3f}x, "
+          f"pallas {r['i8_disp_OLD']/r['i8_disp_PALLAS']:.3f}x, "
           f"f32 {r['f32_disp_OLD']/r['f32_disp_NEW']:.3f}x", flush=True)
 
 

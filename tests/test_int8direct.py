@@ -273,6 +273,30 @@ class TestNumerics:
         assert c8.op_re_q is not None and c8.op_scale_im is not None
 
 
+class TestFusedEpilogue:
+    def test_pallas_fused_matches_xla_chain(self, data):
+        """The Pallas matmul+display megakernel
+        (reconstruct_bscan_int8_fused, interpret mode off-TPU) reproduces
+        form_bscan(reconstruct_int8_direct(...).sum(0)) at f32 tolerance."""
+        from fdoct_tpu.int8direct import reconstruct_bscan_int8_fused
+        cfg, frames, bg, pi = data
+        calib = Calibration.create(cfg)
+        plan = Int8DirectPlan.create(calib, cfg, bg, pi)
+        s8 = jnp.asarray(to_s8(frames))
+        thresh = cfg.bscanthreshold
+
+        m = reconstruct_int8_direct(s8, plan)
+        ref = form_bscan(m.sum(0), cfg, averages=4, bscanthreshold=thresh)
+        db, u8 = reconstruct_bscan_int8_fused(s8, plan, thresh, averages=4,
+                                              compat=cfg.compat,
+                                              interpret=True)
+        assert np.allclose(np.asarray(db), np.asarray(ref.bscandb),
+                           rtol=1e-5, atol=1e-4)
+        d = np.abs(np.asarray(u8).astype(int)
+                   - np.asarray(ref.bscandisp).astype(int))
+        assert d.max() <= 1, d.max()    # knife-edge roundings only
+
+
 class TestSessionIntegration:
     def _mk_session(self, cfg, bg, pi):
         from fdoct_tpu.session import Session

@@ -23,7 +23,8 @@ from jax import shard_map
 from fdoct_tpu.calibration import Calibration
 from fdoct_tpu.config import PipelineConfig
 from fdoct_tpu.ops import to_db
-from fdoct_tpu.ops.scale import mask_dc_rows, threshold_floor, to_uint8
+from fdoct_tpu.ops.scale import (mask_dc_rows, minmax_pair, threshold_floor,
+                                 to_uint8)
 from fdoct_tpu.pipeline import apodize_ratio, ascan_mags, preprocess
 
 
@@ -69,8 +70,11 @@ def _display_tail(local_mags_sum: jnp.ndarray, batch: int,
         c = jnp.arange(disp.shape[1])[None, :] + col0
         disp = jnp.where((r == 5) & (c == 5),
                          jnp.asarray(cfg.clampupperdb, disp.dtype), disp)
-    gmin = lax.pmin(jnp.min(disp), "ascan")
-    gmax = lax.pmax(jnp.max(disp), "ascan")
+    # one-pass local (min, max) like the single-device form_bscan
+    # (ops.scale.minmax_pair), then the scalar collectives
+    lmin, lmax = minmax_pair(disp)
+    gmin = lax.pmin(lmin, "ascan")
+    gmax = lax.pmax(lmax, "ascan")
     rng = jnp.where(gmax > gmin, gmax - gmin, 1.0)
     return bscan, db, (disp - gmin) / rng
 

@@ -219,7 +219,14 @@ def cmd_live(args) -> int:
         # seat of the reference acquisition loop (BscanFFT.cpp:946-1925)
         from fdoct_tpu.parallel import make_mesh
         d, _, a = args.mesh.lower().partition("x")
-        mesh = make_mesh(int(d), int(a) if a else 1)
+        try:
+            n_data, n_ascan = int(d), (int(a) if a else 1)
+            if n_data < 1 or n_ascan < 1:
+                raise ValueError("axes must be >= 1")
+            mesh = make_mesh(n_data, n_ascan)
+        except ValueError as e:
+            raise SystemExit(f"invalid --mesh {args.mesh!r} "
+                             f"(expected DxA, e.g. 4x2): {e}")
         print(f"live session on mesh {dict(mesh.shape)}", file=sys.stderr)
     if getattr(args, "resume", None):
         # resume: stored config wins; calibration tensors + knobs restored
@@ -249,10 +256,18 @@ def cmd_live(args) -> int:
     import select
 
     batch = max(getattr(args, "batch", 1), 1)
-    if mesh is not None and batch == 1:
+    if (mesh is not None and batch == 1
+            and not getattr(src, "triggered", False)):
         # the mesh rides the batched fast path (process_group); default to
-        # one averaging group per sharded dispatch
+        # one averaging group per sharded dispatch.  NOT for triggered
+        # cameras: the batched streamer services keys only between
+        # batches, so the 't' pulse that produces the first frame could
+        # never be fired — triggered live stays per-frame (mesh unused)
         batch = max(cfg.averages, 1)
+    elif mesh is not None and batch == 1:
+        print("live --mesh: triggered camera keeps the per-frame loop "
+              "(keys fire pulses); the mesh applies to batched paths only",
+              file=sys.stderr)
     streamer = None
     if batch > 1:
         # batched fast path: overlapped producer thread + one fused device

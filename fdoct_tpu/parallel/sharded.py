@@ -171,15 +171,27 @@ def sharded_bscan_step(frames: jnp.ndarray, background: jnp.ndarray,
 
 def _int8_plan_specs(plan):
     """PartitionSpec pytree for an Int8DirectPlan: row-indexed leaves shard
-    over 'ascan', spectral/operator leaves replicate."""
+    over 'ascan', spectral/operator leaves replicate.
+
+    Fields that are ``None`` on the plan (e.g. the rank-2 operator pair on
+    a rank-1 plan) must STAY None so the spec pytree has exactly the same
+    leaf structure as the plan — a spec where the plan has no leaf would
+    desynchronize the two flattenings.  Conversely a rank-2 plan
+    (create(rank=2), the session's high-residual escalation) gets specs
+    for its second operator pair: operator/scales replicate, the per-row
+    gain shards over 'ascan' with the rows it scales."""
     import dataclasses as _dc
-    return _dc.replace(
-        plan,
+    repl = dict(
         oq_re=P(), oq_im=P(), s_re=P(), s_im=P(),
         row_gain_inv=P("ascan", None),
         const_re=P("ascan", None), const_im=P("ascan", None),
         bg_rank1_resid=P(),
+        oq2_re=P(), oq2_im=P(), s2_re=P(), s2_im=P(),
+        row_gain2=P("ascan", None),
     )
+    repl = {k: v for k, v in repl.items()
+            if getattr(plan, k, None) is not None}
+    return _dc.replace(plan, **repl)
 
 
 def _bscan_step_int8_fn(fr, plan, *, cfg: PipelineConfig, batch: int):

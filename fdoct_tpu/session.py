@@ -668,8 +668,10 @@ class Session:
         # stay on HOST memory until the placement is decided: the mesh path
         # device_puts each group's slice with its sharding directly (one
         # host→device transfer), instead of committing the whole batch to
-        # device 0 and resharding device→device
-        farr = np.asarray(frames)
+        # device 0 and resharding device→device.  Already-device-resident
+        # input stays on device (np.asarray would force a D2H round-trip);
+        # the mesh path reshards it D2D
+        farr = frames if isinstance(frames, jax.Array) else np.asarray(frames)
         if (farr.ndim == 4 and farr.shape[-1] == 3
                 and farr.dtype == np.uint8 and cfg.channelnum < 3
                 and cfg.matmul_precision == "int8_direct"):

@@ -149,6 +149,15 @@ class RingReader:
                 self.last_seq = 0
             seq = fetch(head)
             if seq:
+                # seqlock-style re-verification: a restart landing BETWEEN
+                # this iteration's epoch load and the fetch could have
+                # raced head past last_seq, making the fetched frame a
+                # mid-stream frame of the NEW epoch stitched onto the old
+                # sequence — discard and resync instead of returning it
+                if self.lib.fdoct_ring_epoch(self.h) != ep:
+                    self.epoch = self.lib.fdoct_ring_epoch(self.h)
+                    self.last_seq = 0
+                    continue
                 self.last_seq = seq
                 return seq
             time.sleep(0.001)

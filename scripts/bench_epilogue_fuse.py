@@ -19,9 +19,7 @@ differenced scan lengths, on-device frame generation.
 """
 from __future__ import annotations
 
-import functools
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -71,25 +69,8 @@ def main() -> None:
         disp = threshold_floor(db, cfg.bscanthreshold)
         return to_uint8(normalize_minmax(disp, 0.0, 1.0))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def gen_s8(g):
-        return (jax.random.randint(
-            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
-            jnp.int32) - 128).astype(jnp.int8)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def gen_u8(g):
-        return jax.random.randint(
-            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
-            jnp.int32).astype(jnp.uint8)
-
-    def scan_of(group_fn):
-        @jax.jit
-        def run(all_fr):
-            def step(c, fr):
-                return c + group_fn(fr).sum(), 0.0
-            return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
-        return run
+    from bench_common import interleaved_measure, make_generators, scan_of
+    gen_s8, gen_u8 = make_generators(BATCH, ROWS, COLS)
 
     i8_recon = scan_of(lambda fr: reconstruct_int8_direct(fr, plan)
                        .sum(axis=0))
@@ -118,40 +99,11 @@ def main() -> None:
                 ("f32_disp_OLD", f32_old, gen_u8),
                 ("f32_disp_NEW", f32_new, gen_u8)]
 
-    # warm/compile everything first so the measured loop is pure execution
-    frames = {}
-    for g in (G1, G2):
-        frames[("s8", g)] = gen_s8(g)
-        frames[("s8", g)].block_until_ready()
-        frames[("u8", g)] = gen_u8(g)
-        frames[("u8", g)].block_until_ready()
-    for name, run, gen in variants:
-        kind = "s8" if gen is gen_s8 else "u8"
-        t0 = time.perf_counter()
-        float(run(frames[(kind, G1)]))
-        float(run(frames[(kind, G2)]))
-        print(f"[{name}] compiled in {time.perf_counter()-t0:.1f}s",
-              flush=True)
-
-    # INTERLEAVED repeats: one sample of every variant per sweep, so every
-    # variant sees the same chip-load window and the RATIOS are trustworthy
-    samples = {name: {G1: [], G2: []} for name, _, _ in variants}
-    for _ in range(REPEATS):
-        for g in (G1, G2):
-            for name, run, gen in variants:
-                kind = "s8" if gen is gen_s8 else "u8"
-                t0 = time.perf_counter()
-                float(run(frames[(kind, g)]))
-                samples[name][g].append(time.perf_counter() - t0)
-
-    pers = {}
-    for name, _, _ in variants:
-        t1 = float(np.median(samples[name][G1]))
-        t2 = float(np.median(samples[name][G2]))
-        per = (t2 - t1) / (G2 - G1)
-        pers[name] = per
-        print(f"[{name}] {per*1e3:.3f} ms/group = "
-              f"{BATCH*ROWS/per/1e6:.2f} M ascans/s", flush=True)
+    pers = interleaved_measure(variants, G1, G2, REPEATS, BATCH, ROWS)
+    if any(v is None for v in pers.values()):
+        print("window unusable for at least one variant; ratios below "
+              "omit the failed rows", flush=True)
+        pers = {k: v for k, v in pers.items() if v is not None}
 
     r = pers
     print(f"\nint8 display-inclusive/recon-only: "

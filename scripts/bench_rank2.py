@@ -16,9 +16,7 @@ bench.py docstring).
 """
 from __future__ import annotations
 
-import functools
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -63,66 +61,25 @@ def main() -> None:
     bg = jnp.asarray(bg_np, jnp.float32)
     pi = jnp.zeros((ROWS, COLS), jnp.float32)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def gen_s8(g):
-        return (jax.random.randint(
-            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
-            jnp.int32) - 128).astype(jnp.int8)
-
-    @functools.partial(jax.jit, static_argnums=0)
-    def gen_u8(g):
-        return jax.random.randint(
-            jax.random.PRNGKey(0), (g, BATCH, ROWS, COLS), 0, 255,
-            jnp.int32).astype(jnp.uint8)
-
-    def scan_of(group_fn):
-        @jax.jit
-        def run(all_fr):
-            def step(c, fr):
-                return c + group_fn(fr).sum(), 0.0
-            return jax.lax.scan(step, jnp.float32(0), all_fr)[0]
-        return run
+    from bench_common import interleaved_measure, make_generators, scan_of
+    gen_s8, gen_u8 = make_generators(BATCH, ROWS, COLS)
 
     disp = lambda m: form_bscan(m, cfg, averages=BATCH).bscandisp \
         .astype(jnp.float32)  # noqa: E731
     variants = [
         ("f32_disp", scan_of(lambda fr: disp(
-            reconstruct(fr, bg, pi, calib, cfg, "fused").sum(axis=0))), "u8"),
+            reconstruct(fr, bg, pi, calib, cfg, "fused").sum(axis=0))),
+         gen_u8),
         ("i8_rank1_disp", scan_of(lambda fr: disp(
-            reconstruct_int8_direct(fr, p1).sum(axis=0))), "s8"),
+            reconstruct_int8_direct(fr, p1).sum(axis=0))), gen_s8),
         ("i8_rank2_disp", scan_of(lambda fr: disp(
-            reconstruct_int8_direct(fr, p2).sum(axis=0))), "s8"),
+            reconstruct_int8_direct(fr, p2).sum(axis=0))), gen_s8),
     ]
 
-    frames = {}
-    for g in (G1, G2):
-        frames[("s8", g)] = gen_s8(g)
-        frames[("s8", g)].block_until_ready()
-        frames[("u8", g)] = gen_u8(g)
-        frames[("u8", g)].block_until_ready()
-    for name, run, kind in variants:
-        t0 = time.perf_counter()
-        float(run(frames[(kind, G1)]))
-        float(run(frames[(kind, G2)]))
-        print(f"[{name}] compiled in {time.perf_counter()-t0:.1f}s",
-              flush=True)
-
-    samples = {name: {G1: [], G2: []} for name, _, _ in variants}
-    for _ in range(REPEATS):
-        for g in (G1, G2):
-            for name, run, kind in variants:
-                t0 = time.perf_counter()
-                float(run(frames[(kind, g)]))
-                samples[name][g].append(time.perf_counter() - t0)
-
-    pers = {}
-    for name, _, _ in variants:
-        t1 = float(np.median(samples[name][G1]))
-        t2 = float(np.median(samples[name][G2]))
-        per = (t2 - t1) / (G2 - G1)
-        pers[name] = per
-        print(f"[{name}] {per*1e3:.3f} ms/group = "
-              f"{BATCH*ROWS/per/1e6:.2f} M ascans/s", flush=True)
+    pers = interleaved_measure(variants, G1, G2, REPEATS, BATCH, ROWS)
+    if any(v is None for v in pers.values()):
+        print("window unusable; rerun for trustworthy ratios", flush=True)
+        return
 
     print(f"\nrank-2 vs f32: {pers['f32_disp']/pers['i8_rank2_disp']:.3f}x  "
           f"rank-1 vs f32: {pers['f32_disp']/pers['i8_rank1_disp']:.3f}x  "

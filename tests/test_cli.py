@@ -213,6 +213,18 @@ class TestLive:
         assert rc == 0
         assert calls, "live --mesh never reached the sharded session step"
 
+    def test_live_mesh_bad_format_is_clean_error(self, small_ini, tmp_path,
+                                                 monkeypatch):
+        import io
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        for bad in ("x2", "a4x2", "4x0"):
+            with pytest.raises(SystemExit) as ei:
+                main(["live", "--config", small_ini,
+                      "--outdir", str(tmp_path), "--frames", "1",
+                      "--mesh", bad])
+            assert "invalid --mesh" in str(ei.value)
+
 
 class TestSpinjVariant:
     def test_variant_spinj_maps_to_spinj_session(self, small_ini, tmp_path,

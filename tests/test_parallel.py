@@ -233,6 +233,45 @@ class TestShardedInt8Direct:
         np.testing.assert_allclose(np.asarray(disp_sh), ref_disp,
                                    rtol=0, atol=1e-5)
 
+    def test_rank2_plan_on_the_mesh(self):
+        """A rank-2 plan (the session's high-residual escalation) must
+        shard: its second operator pair replicates, row_gain2 shards over
+        'ascan'.  Regression: _int8_plan_specs omitted the rank-2 fields,
+        leaving real arrays in the spec pytree — every sharded int8
+        builder then crashed with unhashable-ArrayImpl the moment the
+        escalation fired on a mesh session."""
+        from fdoct_tpu.int8direct import (Int8DirectPlan,
+                                          reconstruct_int8_direct, to_s8)
+        from fdoct_tpu.parallel.sharded import build_session_bscan_step_int8
+        from fdoct_tpu.pipeline import form_bscan
+
+        cfg8 = PipelineConfig(width=128, height=16, binvalue=1, averages=8,
+                              numfftpoints=256, numdisplaypoints=64,
+                              dtype="float32", compat=True,
+                              matmul_precision="int8_direct")
+        calib8 = Calibration.create(cfg8)
+        rng = np.random.default_rng(3)
+        lam = np.linspace(0, 1, 128)
+        bg = np.maximum(
+            np.outer(1 + 0.05 * np.sin(np.linspace(0, 3, 16)),
+                     np.exp(-(((lam - 0.45) / 0.15) ** 2)) * 180 + 12)
+            + 0.25 * np.outer(np.linspace(0, 1, 16),
+                              np.exp(-(((lam - 0.65) / 0.08) ** 2)) * 120),
+            1.0)
+        plan = Int8DirectPlan.create(calib8, cfg8, bg, np.zeros_like(bg),
+                                     rank=2)
+        assert plan.oq2_re is not None
+        frames = rng.integers(0, 255, (8, 16, 128)).astype(np.uint8)
+        mesh = make_mesh(4, 2)
+        step = build_session_bscan_step_int8(mesh, plan, cfg8, 8)
+        sharded = shard_frames(jnp.asarray(frames), mesh)
+        thresh = jnp.asarray(cfg8.bscanthreshold, jnp.float32)
+        bsc, db, disp = step(sharded, thresh)
+        m = reconstruct_int8_direct(jnp.asarray(to_s8(frames)), plan)
+        ref = form_bscan(m.sum(0), cfg8, averages=8)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(ref.bscandb),
+                                   rtol=0, atol=1e-4)
+
     def test_jit_cache_reused_across_plan_rebuilds(self):
         """A recaptured background rebuilds the plan's arrays but must NOT
         recompile the sharded step (leaves are traced args)."""

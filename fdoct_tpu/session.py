@@ -525,12 +525,14 @@ class Session:
 
         High-residual policy (VERDICT r3 weak-4, closed by measurement —
         BENCH.md rank-2 section): above INT8_RESID_ACT the rank-1 fold is
-        no longer display-grade.  If the deviation is STRUCTURED (the
-        rank-2 reciprocal fold captures it: resid drops >=3x), escalate to
-        the rank-2 plan (4 s8 matmuls — display-grade again, still ahead
-        of/par with f32).  If it is noise-dominated (no low-rank fold can
-        represent it), return None: the frame path falls back to the f32
-        chain, which divides by the exact capture (BscanFFT.cpp:1123-1132).
+        no longer display-grade (5-6 dB worst-case on structured
+        backgrounds), so the session returns None and the frame path falls
+        back to the f32 chain, which divides by the exact capture
+        (BscanFFT.cpp:1123-1132).  The rank-2 escalation was measured and
+        rejected: it restores display-grade accuracy but runs at 0.94x
+        f32 (its 4 s8 matmuls cost what the f32 bf16 pair costs), so
+        exact f32 division dominates it on both axes.  create(rank=2)
+        remains available as the documented experiment.
         """
         key = (self.data_yb, self.data_yp, self.data_yd)
         if (self._i8key is None
@@ -543,21 +545,13 @@ class Session:
             plan = Int8DirectPlan.create(self.calib, self.cfg, bg, pi, dark)
             resid = float(plan.bg_rank1_resid)
             if resid > self.INT8_RESID_ACT:
-                plan2 = Int8DirectPlan.create(self.calib, self.cfg, bg, pi,
-                                              dark, rank=2)
-                resid2 = float(plan2.bg_rank1_resid)
-                if resid2 <= resid / 3:
-                    plan = plan2
-                    self._say(f"int8_direct: structured non-rank-1 "
-                              f"background (residual {resid:.3f}); "
-                              f"escalated to the rank-2 fold "
-                              f"(residual {resid2:.3f}, display-grade)")
-                else:
-                    plan = None
-                    self._say(f"int8_direct: background residual {resid:.3f}"
-                              f" is noise-dominated (rank-2 {resid2:.3f}); "
-                              f"falling back to the exact f32 chain "
-                              f"(average more background frames)")
+                plan = None
+                self._say(f"int8_direct: background rank-1 residual "
+                          f"{resid:.3f} is above {self.INT8_RESID_ACT} — "
+                          f"not display-grade; falling back to the exact "
+                          f"f32 chain (average more background frames; "
+                          f"the rank-2 fold measured no faster than f32, "
+                          f"BENCH.md)")
             self._i8plan = plan
             self._i8key = key
         return self._i8plan

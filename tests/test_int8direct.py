@@ -414,36 +414,29 @@ class TestSessionIntegration:
         # the same config on a non-metrology variant DOES ride int8
         assert self._mk_session(cfg, bg, pi)._use_int8_direct(frames[0])
 
-    def test_high_resid_structured_escalates_to_rank2(self, data):
+    @pytest.mark.parametrize("kind", ["structured", "noise"])
+    def test_high_resid_falls_back_to_f32(self, data, kind):
         """The high-residual policy (VERDICT r3 weak-4, closed by
-        measurement): a structured non-rank-1 background above
-        INT8_RESID_ACT escalates to the rank-2 fold instead of serving a
-        degraded rank-1 display."""
-        cfg, frames, _, pi = data
-        R, C = 32, 256
-        lam = np.linspace(0, 1, C)
-        spec1 = np.exp(-(((lam - 0.45) / 0.15) ** 2)) * 180.0 + 12.0
-        spec2 = np.exp(-(((lam - 0.65) / 0.08) ** 2)) * 120.0
-        g2 = np.linspace(0.0, 1.0, R)
-        bg = np.maximum(spec1[None, :] * (1.0 + 0.0 * g2[:, None])
-                        + 0.25 * g2[:, None] * spec2[None, :], 1.0)
-        s = self._mk_session(cfg, bg, pi)
-        assert s._use_int8_direct(frames[0])
-        plan = s._int8_plan()
-        assert plan is not None and plan.oq2_re is not None   # rank-2
-        assert any("escalated to the rank-2" in m for m in s.status)
-        # and it actually processes frames on the fast path
-        r = s.process_group(np.concatenate([frames, frames]))
-        assert len(r) == 2
-
-    def test_high_resid_noise_falls_back_to_f32(self, data):
-        """Noise-dominated high residual: no low-rank fold is
+        measurement): above INT8_RESID_ACT the rank-1 fold is not
         display-grade, so the session refuses the plan and the frame path
-        rides the exact f32 chain."""
+        rides the exact f32 chain — for BOTH structured and
+        noise-dominated deviations.  (The rank-2 escalation was measured
+        and rejected: display-grade again, but 0.94x f32 speed — exact
+        division dominates it on both axes.  BENCH.md rank-2 section.)"""
         cfg, frames, bg, pi = data
-        rng = np.random.default_rng(17)
-        bg_noisy = bg * (1.0 + 0.05 * rng.standard_normal(bg.shape))
-        s = self._mk_session(cfg, np.maximum(bg_noisy, 1.0), pi)
+        if kind == "structured":
+            R, C = 32, 256
+            lam = np.linspace(0, 1, C)
+            spec1 = np.exp(-(((lam - 0.45) / 0.15) ** 2)) * 180.0 + 12.0
+            spec2 = np.exp(-(((lam - 0.65) / 0.08) ** 2)) * 120.0
+            g2 = np.linspace(0.0, 1.0, R)
+            bad_bg = np.maximum(spec1[None, :]
+                                + 0.25 * g2[:, None] * spec2[None, :], 1.0)
+        else:
+            rng = np.random.default_rng(17)
+            bad_bg = np.maximum(
+                bg * (1.0 + 0.05 * rng.standard_normal(bg.shape)), 1.0)
+        s = self._mk_session(cfg, bad_bg, pi)
         assert not s._use_int8_direct(frames[0])
         assert s._int8_plan() is None
         assert any("falling back to the exact f32" in m for m in s.status)

@@ -177,7 +177,7 @@ def _int8_plan_specs(plan):
     a rank-1 plan) must STAY None so the spec pytree has exactly the same
     leaf structure as the plan — a spec where the plan has no leaf would
     desynchronize the two flattenings.  Conversely a rank-2 plan
-    (create(rank=2), the session's high-residual escalation) gets specs
+    (create(rank=2), the measured rank-2 experiment) gets specs
     for its second operator pair: operator/scales replicate, the per-row
     gain shards over 'ascan' with the rows it scales."""
     import dataclasses as _dc

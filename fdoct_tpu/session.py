@@ -512,8 +512,9 @@ class Session:
     #: display-grade.  Re-derived by measurement (round 4, BENCH.md rank-2
     #: section): a STRUCTURED background at resid 0.023 produced 5-6 dB of
     #: worst-case display error — far beyond the 0.03-0.4 dB clean-capture
-    #: band — so above this the session ACTS (escalate/fall back) instead
-    #: of warning and serving a degraded display.
+    #: band — so above this the session falls back to the exact f32 chain
+    #: instead of warning and serving a degraded display (the rank-2
+    #: escalation was measured at 0.94x f32 and rejected — BENCH.md).
     INT8_RESID_ACT = 0.02
 
     def _int8_plan(self):

@@ -234,12 +234,11 @@ class TestShardedInt8Direct:
                                    rtol=0, atol=1e-5)
 
     def test_rank2_plan_on_the_mesh(self):
-        """A rank-2 plan (the session's high-residual escalation) must
+        """A rank-2 plan (create(rank=2), the measured experiment) must
         shard: its second operator pair replicates, row_gain2 shards over
         'ascan'.  Regression: _int8_plan_specs omitted the rank-2 fields,
         leaving real arrays in the spec pytree — every sharded int8
-        builder then crashed with unhashable-ArrayImpl the moment the
-        escalation fired on a mesh session."""
+        builder crashed with unhashable-ArrayImpl on any rank-2 plan."""
         from fdoct_tpu.int8direct import (Int8DirectPlan,
                                           reconstruct_int8_direct, to_s8)
         from fdoct_tpu.parallel.sharded import build_session_bscan_step_int8

@@ -329,11 +329,12 @@ def reconstruct_bscan_int8_fused(frames_s8: jnp.ndarray, plan: Int8DirectPlan,
         plan.row_gain_inv, plan.const_re, plan.const_im,
         jnp.asarray(thresh, jnp.float32), averages=averages, eps=eps,
         denom=denom, interpret=interpret)
+    from fdoct_tpu.ops.scale import to_uint8
+
     lo = jnp.min(mn)
     hi = jnp.max(mx)
     rng = hi - lo
     safe = jnp.where(rng == 0, 1.0, rng)
     disp_u = jnp.maximum(db_u, jnp.asarray(thresh, jnp.float32))
     disp01 = jnp.where(rng == 0, 0.0, (disp_u.T - lo) / safe)
-    u8 = jnp.clip(jnp.round(disp01 * 255.0), 0, 255).astype(jnp.uint8)
-    return db_u.T, u8
+    return db_u.T, to_uint8(disp01)

@@ -256,18 +256,22 @@ def cmd_live(args) -> int:
     import select
 
     batch = max(getattr(args, "batch", 1), 1)
-    if (mesh is not None and batch == 1
-            and not getattr(src, "triggered", False)):
-        # the mesh rides the batched fast path (process_group); default to
-        # one averaging group per sharded dispatch.  NOT for triggered
-        # cameras: the batched streamer services keys only between
-        # batches, so the 't' pulse that produces the first frame could
-        # never be fired — triggered live stays per-frame (mesh unused)
-        batch = max(cfg.averages, 1)
+    if getattr(src, "triggered", False):
+        # a triggered camera CANNOT ride the batched streamer at all: the
+        # batched loop services keys only between batches, so the 't'
+        # pulse that produces the first frame could never be fired and
+        # get_batch would time out.  Triggered live is always the
+        # per-frame loop (which sees the None idle yields) — whether the
+        # batch came from an explicit --batch or the --mesh default.
+        if batch > 1 or mesh is not None:
+            print("live: triggered camera keeps the per-frame loop (keys "
+                  "fire the pulses); --batch/--mesh apply to free-running "
+                  "sources only", file=sys.stderr)
+        batch = 1
     elif mesh is not None and batch == 1:
-        print("live --mesh: triggered camera keeps the per-frame loop "
-              "(keys fire pulses); the mesh applies to batched paths only",
-              file=sys.stderr)
+        # the mesh rides the batched fast path (process_group); default to
+        # one averaging group per sharded dispatch
+        batch = max(cfg.averages, 1)
     streamer = None
     if batch > 1:
         # batched fast path: overlapped producer thread + one fused device

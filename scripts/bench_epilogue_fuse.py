@@ -99,21 +99,21 @@ def main() -> None:
                 ("f32_disp_OLD", f32_old, gen_u8),
                 ("f32_disp_NEW", f32_new, gen_u8)]
 
-    pers = interleaved_measure(variants, G1, G2, REPEATS, BATCH, ROWS)
-    if any(v is None for v in pers.values()):
-        print("window unusable for at least one variant; ratios below "
-              "omit the failed rows", flush=True)
-        pers = {k: v for k, v in pers.items() if v is not None}
+    r = interleaved_measure(variants, G1, G2, REPEATS, BATCH, ROWS)
 
-    r = pers
+    def ratio(num, den, scale=1.0, unit="x"):
+        if r.get(num) is None or r.get(den) is None:
+            return "n/a (window unusable)"
+        return f"{r[num] / r[den] * scale:.3f}{unit}"
+
     print(f"\nint8 display-inclusive/recon-only: "
-          f"OLD {r['i8_recon_only']/r['i8_disp_OLD']*100:.1f}%  "
-          f"NEW {r['i8_recon_only']/r['i8_disp_NEW']*100:.1f}%  "
-          f"PALLAS {r['i8_recon_only']/r['i8_disp_PALLAS']*100:.1f}%  "
+          f"OLD {ratio('i8_recon_only', 'i8_disp_OLD', 100, '%')}  "
+          f"NEW {ratio('i8_recon_only', 'i8_disp_NEW', 100, '%')}  "
+          f"PALLAS {ratio('i8_recon_only', 'i8_disp_PALLAS', 100, '%')}  "
           f"(goal >= 75%)", flush=True)
-    print(f"epilogue speedup: int8 {r['i8_disp_OLD']/r['i8_disp_NEW']:.3f}x, "
-          f"pallas {r['i8_disp_OLD']/r['i8_disp_PALLAS']:.3f}x, "
-          f"f32 {r['f32_disp_OLD']/r['f32_disp_NEW']:.3f}x", flush=True)
+    print(f"epilogue speedup: int8 {ratio('i8_disp_OLD', 'i8_disp_NEW')}, "
+          f"pallas {ratio('i8_disp_OLD', 'i8_disp_PALLAS')}, "
+          f"f32 {ratio('f32_disp_OLD', 'f32_disp_NEW')}", flush=True)
 
 
 if __name__ == "__main__":

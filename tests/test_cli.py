@@ -325,6 +325,33 @@ class TestLiveBatch:
                    "--batch", "4", "--frames", "10"])
         assert rc == 0
 
+    def test_live_triggered_ignores_batch(self, small_ini, tmp_path,
+                                          monkeypatch, capsys):
+        """An explicit --batch on a TRIGGERED camera must fall back to the
+        per-frame loop: the batched streamer services keys only between
+        batches, so the pulse that produces the first frame could never
+        fire and the session would die on the ingest timeout."""
+        import io
+
+        import fdoct_tpu.cli as cli_mod
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+
+        class TriggeredStub:
+            triggered = True
+
+            def frames(self):
+                while True:
+                    yield None          # pulse gap
+                    yield np.full((40, 256), 9, np.uint8)
+
+        monkeypatch.setattr(cli_mod, "_make_source",
+                            lambda args, cfg: TriggeredStub())
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--batch", "16", "--frames", "2"])
+        assert rc == 0
+        assert "per-frame loop" in capsys.readouterr().err
+
     @pytest.mark.skipif(__import__("shutil").which("g++") is None,
                         reason="no C++ toolchain")
     def test_live_batch_dead_daemon_is_an_error(self, small_ini, tmp_path,

@@ -281,11 +281,16 @@ def test_seam_asan_clean(tmp_path, target):
     mode = "--qhy" if "qhy" in target else "--spinnaker"
     ring = tmp_path / "ring"
     proc = _spawn(exe, ring, [mode])
-    r = RingReader(ring)
-    assert r.latest(timeout_s=10.0) is not None
-    r.set_ctrl("exposure", 800.0)
-    assert r.wait_ctrl_applied(3.0)
-    r.close()
-    rc, err = _stop(proc)
+    try:
+        # try/finally: a RingReader timeout here used to leak the daemon
+        # process past the test run (observed as orphaned *_asan daemons
+        # after a failure)
+        r = RingReader(ring)
+        assert r.latest(timeout_s=10.0) is not None
+        r.set_ctrl("exposure", 800.0)
+        assert r.wait_ctrl_applied(3.0)
+        r.close()
+    finally:
+        rc, err = _stop(proc)
     assert rc == 0, err
     assert "AddressSanitizer" not in err

@@ -293,6 +293,51 @@ def cmd_live(args) -> int:
         tracer = device_trace(args.trace)
         tracer.__enter__()
         print(f"profiler trace → {args.trace}", file=sys.stderr)
+
+    # graceful shutdown: SIGTERM/SIGINT request a clean loop exit (like the
+    # 'x' key) so the exit-time checkpoint/footer/close still run — a
+    # production service stop must not lose the session state the
+    # --checkpoint flag promised (the reference just dies; its resume
+    # story is re-capturing calibration frames by hand)
+    import signal as _signal
+
+    def _graceful(signum, frame):
+        print(f"signal {signum}: finishing up (checkpoint + close)",
+              file=sys.stderr)
+        s.done = True
+
+    old_handlers = {}
+    for sig in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            old_handlers[sig] = _signal.signal(sig, _graceful)
+        except ValueError:        # not the main thread (in-process tests)
+            pass
+
+    ckpt_every = max(getattr(args, "checkpoint_every", 0) or 0, 0)
+    groups_done = 0
+
+    def _maybe_checkpoint(completed: int) -> None:
+        """Periodic crash-safety checkpoint every N completed groups
+        (atomic: write aside, then replace)."""
+        nonlocal groups_done
+        groups_done += completed
+        if (not args.checkpoint or not ckpt_every
+                or groups_done < ckpt_every):
+            return
+        groups_done %= ckpt_every
+        from fdoct_tpu.utils.checkpoint import save_session
+        tmp = Path(str(args.checkpoint) + ".tmp.npz")
+        saved = save_session(s, tmp)
+        # land on the same file the exit-time save_session writes
+        # (np.savez appends .npz when the suffix is missing)
+        dest = Path(args.checkpoint)
+        if dest.suffix != ".npz":
+            dest = dest.with_name(dest.name + ".npz")
+        Path(saved).replace(dest)
+        if args.verbose:
+            print(f"periodic checkpoint → {args.checkpoint}",
+                  file=sys.stderr)
+
     try:
         while not s.done and (args.frames == 0 or n < args.frames):
             if sys.stdin in select.select([sys.stdin], [], [], 0)[0]:
@@ -314,6 +359,7 @@ def cmd_live(args) -> int:
                     break
                 rs = s.process_group(raws)
                 n += len(raws)
+                _maybe_checkpoint(len(rs))
                 raw, r = raws[-1], (rs[-1] if rs else None)
             else:
                 raw = next(it)
@@ -323,12 +369,15 @@ def cmd_live(args) -> int:
                     continue
                 r = s.process(raw)
                 n += 1
+                _maybe_checkpoint(1 if r is not None else 0)
             if viewer is not None:
                 viewer.show_session_frame(s, raw, r)
             if r is not None and args.verbose:
                 print(f"bscan group done (n={n}), peak "
                       f"{r.bscandb.max():.1f} dB", file=sys.stderr)
     finally:
+        for sig, handler in old_handlers.items():
+            _signal.signal(sig, handler)
         if tracer is not None:
             tracer.__exit__(None, None, None)
         # join the producer before main() closes the source: a live
@@ -826,7 +875,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "loop here (open with TensorBoard/xprof)")
     sp.add_argument("--checkpoint", metavar="PATH",
                     help="save session state (config + calibration tensors "
-                         "+ knobs) here on exit")
+                         "+ knobs) here on exit; SIGTERM/SIGINT also exit "
+                         "cleanly through this save")
+    sp.add_argument("--checkpoint-every", type=int, default=0, metavar="N",
+                    help="with --checkpoint: also write it (atomically, "
+                         "npz) every N completed B-scan groups, so a hard "
+                         "crash loses at most N groups of session state")
     sp.add_argument("--resume", metavar="PATH",
                     help="restore session state from a checkpoint "
                          "(npz file or orbax dir) instead of starting cold")

@@ -292,6 +292,66 @@ class TestLiveCheckpoint:
                    "--frames", "2", "--resume", str(ckpt)])
         assert rc == 0
 
+    def test_periodic_checkpoint_every_n_groups(self, small_ini, tmp_path,
+                                                monkeypatch):
+        """--checkpoint-every N writes the (atomic) checkpoint mid-run so a
+        hard crash loses at most N groups of session state."""
+        import io
+
+        import fdoct_tpu.utils.checkpoint as ckpt_mod
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        saves = []
+        orig = ckpt_mod.save_session
+        monkeypatch.setattr(ckpt_mod, "save_session",
+                            lambda s, p, **k: (saves.append(str(p)),
+                                               orig(s, p, **k))[1])
+        ckpt = tmp_path / "sess.npz"
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "6", "--checkpoint", str(ckpt),
+                   "--checkpoint-every", "2"])
+        assert rc == 0 and ckpt.exists()
+        # 6 frames at averages=1 = 6 groups -> 3 periodic + 1 exit save
+        periodic = [p for p in saves if p.endswith(".tmp.npz")]
+        assert len(periodic) == 3, saves
+        # the periodic writes landed on the real checkpoint (resumable)
+        from fdoct_tpu.utils.checkpoint import load_session
+        assert load_session(ckpt) is not None
+
+    def test_sigterm_exits_through_checkpoint(self, small_ini, tmp_path):
+        """A service stop (SIGTERM) must exit the live loop cleanly through
+        the exit-time checkpoint + footer close, not die mid-frame."""
+        import signal
+        import subprocess
+        import sys as _sys
+        import time
+
+        ckpt = tmp_path / "sess.npz"
+        code = (
+            "import sys; sys.path.insert(0, {root!r});\n"
+            "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from fdoct_tpu.cli import main\n"
+            "sys.exit(main(['live', '--config', {ini!r}, '--outdir', "
+            "{out!r}, '--frames', '0', '--checkpoint', {ckpt!r}]))\n"
+        ).format(root=str(Path(__file__).resolve().parents[1]),
+                 ini=small_ini, out=str(tmp_path), ckpt=str(ckpt))
+        proc = subprocess.Popen([_sys.executable, "-c", code],
+                                stdin=subprocess.DEVNULL,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        try:
+            time.sleep(12)            # let it start processing frames
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+        assert proc.returncode == 0, out[-800:]
+        assert "finishing up" in out, out[-800:]
+        assert "processed" in out, out[-800:]
+        assert ckpt.exists()
+
 
 class TestCscan:
     def test_cscan_writes_volume(self, small_ini, tmp_path):

@@ -334,6 +334,11 @@ def build_session_bscan_step(mesh: Mesh, calib: Calibration,
     def step(frames, yb, yp, yd, thresh):
         return jfn(frames, yb, yp, yd, thresh, calib)
 
+    # for the HLO collective-traffic accounting (scripts/bench_scaling.py,
+    # tests/test_parallel.py) — the session step must move exactly the
+    # same bytes as the offline step: one psum + two scalars
+    step.lower = lambda fr, yb, yp, yd, th: jfn.lower(fr, yb, yp, yd, th,
+                                                      calib)
     return step
 
 

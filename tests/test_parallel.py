@@ -189,6 +189,43 @@ class TestScalingHarness:
         expect = h_loc * calib.ndisp * itemsize + 2 * itemsize
         assert got.get("all-reduce", 0) == expect, (got, expect)
 
+    def test_session_step_traffic_matches_offline_step(self, small_cfg):
+        """The r4 session-facing mesh step (traced threshold, three
+        outputs) must move EXACTLY the same bytes as the offline step —
+        the extra (linear, uint8) outputs are local transforms, and the
+        traced threshold is replicated, so nothing new crosses the mesh."""
+        import sys
+        from pathlib import Path
+
+        import jax
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+        from bench_scaling import collective_bytes
+
+        from fdoct_tpu.calibration import Calibration
+        from fdoct_tpu.parallel import make_mesh, shard_frames
+        from fdoct_tpu.parallel.sharded import build_session_bscan_step
+
+        cfg = small_cfg
+        calib = Calibration.create(cfg)
+        mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+        rng = np.random.default_rng(0)
+        frames = shard_frames(jnp.asarray(
+            rng.integers(0, 255, (4, cfg.height, cfg.width)).astype(np.uint8)),
+            mesh)
+        bg = jnp.full((cfg.oph, cfg.opw), 128.0, cfg.dtype)
+        pi = jnp.zeros_like(bg)
+        yd = jnp.zeros_like(bg)
+        thresh = jnp.asarray(cfg.bscanthreshold, cfg.dtype)
+        fn = build_session_bscan_step(mesh, calib, cfg, "fused", 4)
+        hlo = fn.lower(frames, bg, pi, yd, thresh).compile().as_text()
+        got = collective_bytes(hlo)
+        h_loc = cfg.oph // 2
+        itemsize = jnp.dtype(cfg.dtype).itemsize
+        expect = h_loc * calib.ndisp * itemsize + 2 * itemsize
+        assert got.get("all-reduce", 0) == expect, (got, expect)
+        assert got.get("all-gather", 0) == 0, got
+
 
 class TestShardedInt8Direct:
     """The int8-direct display path on the mesh must match its own

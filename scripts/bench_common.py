@@ -84,11 +84,18 @@ def interleaved_measure(variants, g1: int, g2: int, repeats: int,
 
     pers = {}
     for name, _, _ in variants:
-        t1 = float(np.median(samples[name][g1]))
-        t2 = float(np.median(samples[name][g2]))
-        if not (t2 > t1 > 0):
-            print(f"[{name}] INCONSISTENT differenced timings "
-                  f"t({g1})={t1:.4f}s t({g2})={t2:.4f}s — window unusable, "
+        s1, s2 = samples[name][g1], samples[name][g2]
+        t1, t2 = float(np.median(s1)), float(np.median(s2))
+        # two unusable-window signatures (both observed on the shared dev
+        # chip): non-monotone medians, and a mid-sweep load shift that
+        # leaves one length's samples swinging wildly — the ordering guard
+        # alone once let a physically impossible 334 M A-scans/s row
+        # through (the medians straddled the shift)
+        spread = max((max(s) - min(s)) / float(np.median(s))
+                     for s in (s1, s2))
+        if not (t2 > t1 > 0) or spread > 0.5:
+            print(f"[{name}] INCONSISTENT window: t({g1})={t1:.4f}s "
+                  f"t({g2})={t2:.4f}s spread {spread*100:.0f}% — "
                   f"row skipped", flush=True)
             pers[name] = None
             continue

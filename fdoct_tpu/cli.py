@@ -58,6 +58,22 @@ def _frame_iter(src):
     return (f for f in src.frames() if f is not None)
 
 
+def _parse_mesh(spec: str):
+    """'DxA' → a ('data', 'ascan') device mesh, with a clean CLI error on
+    malformed values (shared by `fdoct live --mesh` / `fdoct cscan --mesh`)."""
+    from fdoct_tpu.parallel import make_mesh
+
+    d, _, a = spec.lower().partition("x")
+    try:
+        n_data, n_ascan = int(d), (int(a) if a else 1)
+        if n_data < 1 or n_ascan < 1:
+            raise ValueError("axes must be >= 1")
+        return make_mesh(n_data, n_ascan)
+    except ValueError as e:
+        raise SystemExit(f"invalid --mesh {spec!r} "
+                         f"(expected DxA, e.g. 4x2): {e}")
+
+
 def _make_source(args, cfg):
     from fdoct_tpu.sources import ReplaySource, SyntheticSource
 
@@ -217,16 +233,7 @@ def cmd_live(args) -> int:
         # rides the sharded session steps (parallel.sharded), with each
         # batch device_put across the mesh in one transfer — the sharded
         # seat of the reference acquisition loop (BscanFFT.cpp:946-1925)
-        from fdoct_tpu.parallel import make_mesh
-        d, _, a = args.mesh.lower().partition("x")
-        try:
-            n_data, n_ascan = int(d), (int(a) if a else 1)
-            if n_data < 1 or n_ascan < 1:
-                raise ValueError("axes must be >= 1")
-            mesh = make_mesh(n_data, n_ascan)
-        except ValueError as e:
-            raise SystemExit(f"invalid --mesh {args.mesh!r} "
-                             f"(expected DxA, e.g. 4x2): {e}")
+        mesh = _parse_mesh(args.mesh)
         print(f"live session on mesh {dict(mesh.shape)}", file=sys.stderr)
     if getattr(args, "resume", None):
         # resume: stored config wins; calibration tensors + knobs restored
@@ -588,9 +595,12 @@ def cmd_cscan(args) -> int:
         if best:
             calib = autofocused_calibration(cfg, best)
 
-    n_dev = len(jax.devices())
-    n_ascan = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
-    mesh = make_mesh(n_dev // n_ascan, n_ascan)
+    if getattr(args, "mesh", ""):
+        mesh = _parse_mesh(args.mesh)
+    else:
+        n_dev = len(jax.devices())
+        n_ascan = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        mesh = make_mesh(n_dev // n_ascan, n_ascan)
     sharded = shard_frames(jnp.asarray(volume_raw), mesh)
     # int8-direct display volumes when the config asks and the folding
     # applies (fdoct_tpu.int8direct); dispersion-swept calibrations fold
@@ -931,6 +941,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("cscan", help="volumetric C-scan over the mesh")
     common(sp)
     sp.add_argument("--frames", type=int, default=32)
+    sp.add_argument("--mesh", default="", metavar="DxA",
+                    help="mesh shape override (default: all devices, "
+                         "2-way A-scan sharding when even)")
     sp.add_argument("--dispersion-sweep", action="store_true")
     sp.set_defaults(fn=cmd_cscan)
 

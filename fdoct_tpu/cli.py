@@ -305,15 +305,25 @@ def cmd_live(args) -> int:
     # 'x' key) so the exit-time checkpoint/footer/close still run — a
     # production service stop must not lose the session state the
     # --checkpoint flag promised (the reference just dies; its resume
-    # story is re-capturing calibration frames by hand)
+    # story is re-capturing calibration frames by hand).  The handler only
+    # stores flags (no print: stderr may hold its buffer lock when the
+    # signal lands mid-write — a reentrant print would crash the loop and
+    # skip the very checkpoint it promises); the loop reports the signal.
+    # A SECOND signal stops being graceful: handlers revert to default so
+    # a stuck session (e.g. a stalled jit compile) stays interruptible.
     import signal as _signal
 
+    sig_seen: list[int] = []
+    old_handlers = {}
+
     def _graceful(signum, frame):
-        print(f"signal {signum}: finishing up (checkpoint + close)",
-              file=sys.stderr)
+        if sig_seen:                      # second signal: force-exit path
+            for sg, h in old_handlers.items():
+                _signal.signal(sg, h)
+            raise KeyboardInterrupt
+        sig_seen.append(signum)
         s.done = True
 
-    old_handlers = {}
     for sig in (_signal.SIGTERM, _signal.SIGINT):
         try:
             old_handlers[sig] = _signal.signal(sig, _graceful)
@@ -323,27 +333,27 @@ def cmd_live(args) -> int:
     ckpt_every = max(getattr(args, "checkpoint_every", 0) or 0, 0)
     groups_done = 0
 
+    def _atomic_checkpoint() -> "Path":
+        """Atomic write-aside + rename onto the checkpoint path (a signal
+        or crash mid-save must never truncate the last good checkpoint)."""
+        from fdoct_tpu.utils.checkpoint import npz_path, save_session
+        tmp = Path(str(args.checkpoint) + ".tmp.npz")
+        saved = save_session(s, tmp)
+        dest = npz_path(args.checkpoint)
+        Path(saved).replace(dest)
+        return dest
+
     def _maybe_checkpoint(completed: int) -> None:
-        """Periodic crash-safety checkpoint every N completed groups
-        (atomic: write aside, then replace)."""
+        """Periodic crash-safety checkpoint every N completed groups."""
         nonlocal groups_done
         groups_done += completed
         if (not args.checkpoint or not ckpt_every
                 or groups_done < ckpt_every):
             return
         groups_done %= ckpt_every
-        from fdoct_tpu.utils.checkpoint import save_session
-        tmp = Path(str(args.checkpoint) + ".tmp.npz")
-        saved = save_session(s, tmp)
-        # land on the same file the exit-time save_session writes
-        # (np.savez appends .npz when the suffix is missing)
-        dest = Path(args.checkpoint)
-        if dest.suffix != ".npz":
-            dest = dest.with_name(dest.name + ".npz")
-        Path(saved).replace(dest)
+        dest = _atomic_checkpoint()
         if args.verbose:
-            print(f"periodic checkpoint → {args.checkpoint}",
-                  file=sys.stderr)
+            print(f"periodic checkpoint → {dest}", file=sys.stderr)
 
     try:
         while not s.done and (args.frames == 0 or n < args.frames):
@@ -383,19 +393,31 @@ def cmd_live(args) -> int:
                 print(f"bscan group done (n={n}), peak "
                       f"{r.bscandb.max():.1f} dB", file=sys.stderr)
     finally:
-        for sig, handler in old_handlers.items():
-            _signal.signal(sig, handler)
+        if sig_seen:
+            print(f"signal {sig_seen[0]}: finishing up (checkpoint + "
+                  f"close)", file=sys.stderr)
         if tracer is not None:
             tracer.__exit__(None, None, None)
         # join the producer before main() closes the source: a live
         # producer polling a just-munmapped ring would crash the process
         if streamer is not None:
             streamer.stop()
-    if getattr(args, "checkpoint", None):
-        from fdoct_tpu.utils.checkpoint import save_session
-        save_session(s, args.checkpoint)
-        print(f"session checkpoint saved to {args.checkpoint}",
-              file=sys.stderr)
+        # the exit-time checkpoint runs BEFORE the handlers are restored
+        # (a signal during the save must not kill the write) and uses the
+        # same atomic write-aside as the periodic path (an in-place
+        # np.savez would truncate the last good periodic checkpoint).
+        # It also runs on an EXCEPTION exit (a dead camera shouldn't lose
+        # session state), so a save failure must not mask that error.
+        if getattr(args, "checkpoint", None):
+            try:
+                dest = _atomic_checkpoint()
+                print(f"session checkpoint saved to {dest}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"checkpoint save failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+        for sig, handler in old_handlers.items():
+            _signal.signal(sig, handler)
     s.close()
     if viewer is not None:
         viewer.close()

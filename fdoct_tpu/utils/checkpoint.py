@@ -28,6 +28,15 @@ def _payload(session) -> dict:
     return payload
 
 
+def npz_path(path: str | Path) -> Path:
+    """The file np.savez actually writes for ``path`` (numpy appends .npz
+    when the suffix is missing) — one place owns that rule so callers
+    (e.g. the CLI's atomic periodic checkpoint) never re-encode it."""
+    path = Path(path)
+    return path if path.suffix == ".npz" else path.with_name(path.name
+                                                             + ".npz")
+
+
 def save_session(session, path: str | Path, backend: str = "npz") -> Path:
     """Write config + calibration tensors + runtime knobs to ``path``.
 
@@ -35,10 +44,15 @@ def save_session(session, path: str | Path, backend: str = "npz") -> Path:
     checkpoint via orbax-checkpoint — the production TPU checkpointing
     stack, useful when the session state should participate in a larger
     orbax-managed checkpoint layout).
+
+    Returns the path actually WRITTEN (np.savez appends .npz when the
+    suffix is missing — returning the input path made callers print and
+    later --resume a file that does not exist).
     """
     path = Path(path)
     payload = _payload(session)
     if backend == "npz":
+        path = npz_path(path)
         np.savez_compressed(path, **payload)
     elif backend == "orbax":
         import orbax.checkpoint as ocp
@@ -68,6 +82,9 @@ def load_session(path: str | Path, session=None, backend: str = "npz",
         ckptr = ocp.StandardCheckpointer()
         data = ckptr.restore(Path(path).resolve())
     else:
+        path = Path(path)
+        if not path.exists() and npz_path(path).exists():
+            path = npz_path(path)   # --checkpoint sess wrote sess.npz
         data = np.load(path)
     cfg = PipelineConfig.from_json(bytes(data["config_json"]).decode())
     if session is None:

@@ -90,13 +90,20 @@ def interleaved_measure(variants, g1: int, g2: int, repeats: int,
         # chip): non-monotone medians, and a mid-sweep load shift that
         # leaves one length's samples swinging wildly — the ordering guard
         # alone once let a physically impossible 334 M A-scans/s row
-        # through (the medians straddled the shift)
+        # through (the medians straddled the shift).  Ordering is checked
+        # FIRST so a degenerate all-zero sample list cannot reach the
+        # spread division.
+        if not (t2 > t1 > 0):
+            print(f"[{name}] INCONSISTENT window: t({g1})={t1:.4f}s "
+                  f"t({g2})={t2:.4f}s — row skipped", flush=True)
+            pers[name] = None
+            continue
         spread = max((max(s) - min(s)) / float(np.median(s))
                      for s in (s1, s2))
-        if not (t2 > t1 > 0) or spread > 0.5:
-            print(f"[{name}] INCONSISTENT window: t({g1})={t1:.4f}s "
-                  f"t({g2})={t2:.4f}s spread {spread*100:.0f}% — "
-                  f"row skipped", flush=True)
+        if spread > 0.5:
+            print(f"[{name}] INCONSISTENT window: sample spread "
+                  f"{spread*100:.0f}% (mid-sweep load shift) — row "
+                  f"skipped", flush=True)
             pers[name] = None
             continue
         per = (t2 - t1) / (g2 - g1)

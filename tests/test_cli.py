@@ -292,6 +292,24 @@ class TestLiveCheckpoint:
                    "--frames", "2", "--resume", str(ckpt)])
         assert rc == 0
 
+    def test_checkpoint_suffixless_path_resumable(self, small_ini, tmp_path,
+                                                  monkeypatch):
+        """--checkpoint sess (no .npz) must report the REAL written file
+        and --resume sess must find it (np.savez appends the suffix;
+        utils.checkpoint owns that rule now)."""
+        import io
+        monkeypatch.setattr("select.select", lambda *a, **k: ([], [], []))
+        ckpt = tmp_path / "sess"                      # suffixless
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "2", "--checkpoint", str(ckpt)])
+        assert rc == 0
+        assert (tmp_path / "sess.npz").exists()
+        monkeypatch.setattr("sys.stdin", io.StringIO(""))
+        rc = main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                   "--frames", "2", "--resume", str(ckpt)])
+        assert rc == 0
+
     def test_periodic_checkpoint_every_n_groups(self, small_ini, tmp_path,
                                                 monkeypatch):
         """--checkpoint-every N writes the (atomic) checkpoint mid-run so a
@@ -311,9 +329,11 @@ class TestLiveCheckpoint:
                    "--frames", "6", "--checkpoint", str(ckpt),
                    "--checkpoint-every", "2"])
         assert rc == 0 and ckpt.exists()
-        # 6 frames at averages=1 = 6 groups -> 3 periodic + 1 exit save
-        periodic = [p for p in saves if p.endswith(".tmp.npz")]
-        assert len(periodic) == 3, saves
+        # 6 frames at averages=1 = 6 groups -> 3 periodic + 1 exit save,
+        # ALL through the atomic write-aside path (an in-place exit save
+        # could truncate the last good periodic checkpoint)
+        assert len(saves) == 4, saves
+        assert all(p.endswith(".tmp.npz") for p in saves), saves
         # the periodic writes landed on the real checkpoint (resumable)
         from fdoct_tpu.utils.checkpoint import load_session
         assert load_session(ckpt) is not None
@@ -327,26 +347,39 @@ class TestLiveCheckpoint:
         import time
 
         ckpt = tmp_path / "sess.npz"
+        log = tmp_path / "live.log"
         code = (
             "import sys; sys.path.insert(0, {root!r});\n"
             "import os; os.environ['JAX_PLATFORMS'] = 'cpu'\n"
             "import jax; jax.config.update('jax_platforms', 'cpu')\n"
             "from fdoct_tpu.cli import main\n"
             "sys.exit(main(['live', '--config', {ini!r}, '--outdir', "
-            "{out!r}, '--frames', '0', '--checkpoint', {ckpt!r}]))\n"
+            "{out!r}, '--frames', '0', '--verbose', "
+            "'--checkpoint', {ckpt!r}]))\n"
         ).format(root=str(Path(__file__).resolve().parents[1]),
                  ini=small_ini, out=str(tmp_path), ckpt=str(ckpt))
-        proc = subprocess.Popen([_sys.executable, "-c", code],
-                                stdin=subprocess.DEVNULL,
-                                stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
+        with open(log, "w") as lf:
+            proc = subprocess.Popen([_sys.executable, "-c", code],
+                                    stdin=subprocess.DEVNULL,
+                                    stdout=lf, stderr=subprocess.STDOUT,
+                                    text=True)
         try:
-            time.sleep(12)            # let it start processing frames
+            # poll for real processing (a fixed sleep both flaked on slow
+            # hosts — the handler installs just before the loop — and put
+            # a hard floor on every run)
+            deadline = time.monotonic() + 90
+            while time.monotonic() < deadline:
+                if "bscan group done" in log.read_text():
+                    break
+                time.sleep(0.3)
+            else:
+                raise AssertionError(f"never started: {log.read_text()[-800:]}")
             proc.send_signal(signal.SIGTERM)
-            out, _ = proc.communicate(timeout=60)
+            proc.wait(timeout=60)
         except subprocess.TimeoutExpired:
             proc.kill()
             raise
+        out = log.read_text()
         assert proc.returncode == 0, out[-800:]
         assert "finishing up" in out, out[-800:]
         assert "processed" in out, out[-800:]

@@ -47,15 +47,40 @@ def _load_cfg(args) -> "PipelineConfig":
 _open_sources: list = []   # sources needing close() (daemon-owning), see main()
 
 
-def _frame_iter(src):
+def _frame_iter(src, idle_timeout_s: float = 10.0):
     """Blocking frame iterator for sequential/batch consumers.
 
     A triggered CameraSource yields ``None`` between pulses so the live
     loop can keep servicing the keys that fire them (camera.py frames());
     every other consumer (capture/viewport/fps/cscan/sweep/sim) just wants
     the next real frame, so the idle yields are skipped here — ``next()``
-    blocks across pulse gaps instead of crashing on ``None.dtype``."""
-    return (f for f in src.frames() if f is not None)
+    blocks across pulse gaps instead of crashing on ``None.dtype``.
+
+    The skip is capped: a consumer that never fires pulses (cscan /
+    viewport / fps / sweep on a trigger-mode daemon, or a capture whose
+    pulse's frame was overwritten) would otherwise block forever with no
+    diagnostic, so ``idle_timeout_s`` of continuous idle yields raises a
+    clear error instead."""
+    import time as _time
+
+    def gen():
+        idle_since = None
+        for f in src.frames():
+            if f is None:
+                now = _time.monotonic()
+                if idle_since is None:
+                    idle_since = now
+                elif now - idle_since > idle_timeout_s:
+                    raise TimeoutError(
+                        f"triggered source produced no frame for "
+                        f"{idle_timeout_s:.0f}s — this consumer does not "
+                        f"fire trigger pulses; fire them (fdoct capture "
+                        f"--trigger, or the t/k/| keys in fdoct live) or "
+                        f"run the daemon free-running")
+                continue
+            idle_since = None
+            yield f
+    return gen()
 
 
 def _parse_mesh(spec: str):
@@ -68,10 +93,15 @@ def _parse_mesh(spec: str):
         n_data, n_ascan = int(d), (int(a) if a else 1)
         if n_data < 1 or n_ascan < 1:
             raise ValueError("axes must be >= 1")
-        return make_mesh(n_data, n_ascan)
     except ValueError as e:
         raise SystemExit(f"invalid --mesh {spec!r} "
                          f"(expected DxA, e.g. 4x2): {e}")
+    # a well-formed spec that exceeds the machine is a capacity problem,
+    # not a syntax one — report it without the misleading DxA prefix
+    try:
+        return make_mesh(n_data, n_ascan)
+    except ValueError as e:
+        raise SystemExit(f"--mesh {spec}: {e}")
 
 
 def _make_source(args, cfg):
@@ -210,6 +240,11 @@ def cmd_live(args) -> int:
     from fdoct_tpu.session import Session
     from fdoct_tpu.sinks import RunWriter
 
+    if (getattr(args, "checkpoint_every", 0) or 0) > 0 \
+            and not getattr(args, "checkpoint", None):
+        # a user relying on periodic crash-safety must not silently get
+        # no checkpoints: the period needs a path to write to
+        raise SystemExit("--checkpoint-every N requires --checkpoint PATH")
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     if getattr(args, "image", None):

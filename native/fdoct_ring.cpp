@@ -142,7 +142,12 @@ void *fdoct_ring_open(const char *path, int create, uint32_t width,
       }
     }
     memset(mem, 0, map_bytes);
-    r->hdr->epoch = old_epoch + 1;
+    // RELEASE: readers load the epoch with ACQUIRE (fdoct_ring_epoch) and
+    // treat any change as a restart signal; a plain store could become
+    // visible AFTER the new writer's first head/frame publications on a
+    // weakly-ordered architecture, re-opening the restart-races-head
+    // window the field exists to close.
+    __atomic_store_n(&r->hdr->epoch, old_epoch + 1, __ATOMIC_RELEASE);
     r->hdr->ctrl_seq = keep_seq;
     r->hdr->ctrl_mask = keep_mask;
     memcpy(r->hdr->ctrl_values, keep_vals, sizeof(keep_vals));

@@ -588,3 +588,56 @@ class TestLiveConfigPanel:
         t.join(timeout=15)
         assert rc == 0
         assert seen.get("applied"), "config edit never took effect live"
+
+
+class TestAdvisorGuards:
+    """Round-5 advisor findings: loud failures instead of silent hangs."""
+
+    def test_frame_iter_idle_timeout(self):
+        """A triggered source that never receives pulses yields None
+        forever; consumers that never fire pulses must get a clear error
+        after the idle cap, not block forever (ADVICE r4)."""
+        from fdoct_tpu.cli import _frame_iter
+
+        class NeverFires:
+            def frames(self):
+                while True:
+                    yield None
+
+        it = _frame_iter(NeverFires(), idle_timeout_s=0.05)
+        with pytest.raises(TimeoutError, match="no frame"):
+            next(it)
+
+    def test_frame_iter_tolerates_idle_gaps(self):
+        """Idle gaps shorter than the cap still block-and-skip (the
+        pulse-firing consumers' contract)."""
+        from fdoct_tpu.cli import _frame_iter
+
+        class Gappy:
+            def frames(self):
+                for i in range(3):
+                    yield None
+                    yield np.full((4, 4), i, np.uint8)
+
+        it = _frame_iter(Gappy(), idle_timeout_s=5.0)
+        assert [int(f[0, 0]) for f in it] == [0, 1, 2]
+
+    def test_checkpoint_every_requires_checkpoint_path(self, small_ini,
+                                                       tmp_path):
+        with pytest.raises(SystemExit, match="requires --checkpoint"):
+            main(["live", "--config", small_ini, "--outdir", str(tmp_path),
+                  "--frames", "1", "--checkpoint-every", "5"])
+
+    def test_parse_mesh_capacity_error_not_syntax(self):
+        """A well-formed DxA spec that exceeds the device count must read
+        as a capacity problem, not 'invalid --mesh (expected DxA)'."""
+        from fdoct_tpu.cli import _parse_mesh
+        with pytest.raises(SystemExit) as exc:
+            _parse_mesh("5x3")        # well-formed; 15 != 8 cpu devices
+        assert "expected DxA" not in str(exc.value)
+        assert "devices" in str(exc.value)
+
+    def test_parse_mesh_syntax_error(self):
+        from fdoct_tpu.cli import _parse_mesh
+        with pytest.raises(SystemExit, match="expected DxA"):
+            _parse_mesh("fast")

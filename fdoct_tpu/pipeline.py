@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from fdoct_tpu.calibration import Calibration
 from fdoct_tpu.config import PipelineConfig
 from fdoct_tpu.ops import (
-    bin_area, ifft_mag_rows, median_blur, normalize_minmax, normalize_rows,
+    bin_area, ifft_mag_rows, median_blur, normalize_rows,
     resample_klinear, smooth_moving_average, to_db, to_uint8, zeropad_rowwise,
     threshold_floor,
 )
@@ -65,13 +65,36 @@ def preprocess(raw: jnp.ndarray, cfg: PipelineConfig, dtype=None) -> jnp.ndarray
 
 
 def apodize_ratio(y: jnp.ndarray, background: jnp.ndarray,
-                  pi_frame: jnp.ndarray, cfg: PipelineConfig) -> jnp.ndarray:
+                  pi_frame: jnp.ndarray, cfg: PipelineConfig,
+                  ascan_axis: str | None = None) -> jnp.ndarray:
     """(y - data_yp) / data_yb with the optional input normalizations
-    (reference: BscanFFT.cpp:1123-1132)."""
+    (reference: BscanFFT.cpp:1123-1132).
+
+    The reference normalizes EACH frame by its own min/max (``normalize``
+    of the loop-local ``data_y``; the simulator forces it on,
+    BscanFFTsim.cpp:845) — so the min/max reduction runs over the frame
+    axes only, never jointly across a batch: a batched ``y`` of frames
+    with differing ranges gets per-frame scales identical to running the
+    hot loop frame by frame (round-5 VERDICT item 1).
+
+    ``ascan_axis`` names the mesh axis sharding the frame ROWS when this
+    runs inside ``shard_map`` (parallel.sharded): the per-frame min/max
+    then completes with pmin/pmax scalar collectives so each frame sees
+    its full-row range, not the shard-local one.
+    """
     if cfg.rowwisenormalize:
         y = normalize_rows(y, 0.0, 1.0)
     if not cfg.donotnormalize:
-        y = normalize_minmax(y, 0.0, 1.0)
+        axes = (-2, -1) if y.ndim >= 2 else (-1,)
+        lo = jnp.min(y, axis=axes, keepdims=True)
+        hi = jnp.max(y, axis=axes, keepdims=True)
+        if ascan_axis is not None:
+            lo = jax.lax.pmin(lo, ascan_axis)
+            hi = jax.lax.pmax(hi, ascan_axis)
+        rng = hi - lo
+        safe = jnp.where(rng == 0, 1.0, rng)
+        # cv::normalize NORM_MINMAX: constant frames map to the low bound
+        y = jnp.where(rng == 0, 0.0, (y - lo) / safe)
     return (y - pi_frame) / background
 
 

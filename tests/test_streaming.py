@@ -203,3 +203,140 @@ class TestMeshStreaming:
         flat = np.asarray(r2[0].bscandisp)
         assert (flat == 0).mean() > 0.3
         assert not np.array_equal(flat, np.asarray(r1[0].bscandisp))
+
+
+class TestMeshStatefulFlags:
+    """Round-5 VERDICT item 3 on the mesh: the reference's working save
+    mode (saveframes while averaging, BscanFFT.cpp:961-984) and J-lockin
+    must keep a mesh-configured session ON the sharded steps."""
+
+    def _cfg(self, **over):
+        from fdoct_tpu.config import PipelineConfig
+        base = dict(width=64, height=16, averages=8, numfftpoints=128,
+                    numdisplaypoints=40, dtype="float32",
+                    donotnormalize=True)
+        base.update(over)
+        return PipelineConfig(**base)
+
+    def _frames(self, n=16):
+        rng = np.random.default_rng(7)
+        return rng.integers(10, 250, (n, 16, 64)).astype(np.uint8)
+
+    def _mesh_session(self, cfg):
+        from fdoct_tpu.parallel import make_mesh
+        from fdoct_tpu.session import Session
+        s = Session(cfg, mesh=make_mesh(4, 2))
+        calls = []
+        orig = s._process_group_mesh
+        s._process_group_mesh = (
+            lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+        def boom(raw):
+            raise AssertionError("mesh session fell back to per-frame")
+        s.process = boom
+        return s, calls
+
+    def test_mesh_saveframes_stays_sharded(self):
+        from fdoct_tpu.session import Session
+        cfg = self._cfg(saveframes=True, saveinterferograms=True)
+        frames = self._frames()
+        ref = Session(cfg)
+        for f in frames:
+            ref.process(f)
+        s, calls = self._mesh_session(cfg)
+        rs = s.process_group(frames)
+        assert calls, "mesh path was not used"
+        assert len(rs) == 2
+        assert s.zeroisactive == ref.zeroisactive
+        for rid in (0, 1):
+            for key in ("bscan", "raw", "binned"):
+                a = ref._rings[rid][key]
+                b = s._rings[rid][key]
+                assert len(a) == len(b)
+                for x, y in zip(a, b):
+                    # psum reassociation: tolerance on the float mags
+                    np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                               rtol=1e-4, atol=1e-6)
+
+    def test_mesh_jlockin_stays_sharded(self):
+        from fdoct_tpu.session import Session
+        cfg = self._cfg()
+        frames = self._frames(24)
+        ref = Session(cfg)
+        ref.key("j")
+        seq = [r for f in frames if (r := ref.process(f)) is not None]
+        s, calls = self._mesh_session(cfg)
+        del s.process                 # 'j' pending legitimately per-frame
+        s.key("j")
+        first = s.process_group(frames[:8])
+
+        def boom(raw):
+            raise AssertionError("mesh session fell back to per-frame")
+        s.process = boom
+        rest = s.process_group(frames[8:])
+        assert calls, "mesh path was not used after jscansave was set"
+        got = first + rest
+        assert len(got) == len(seq) == 3
+        for a, b in zip(seq[1:], got[1:]):
+            assert a.sub_disp is not None and b.sub_disp is not None
+            np.testing.assert_allclose(np.asarray(a.sub_disp).astype(int),
+                                       np.asarray(b.sub_disp).astype(int),
+                                       atol=1)
+
+    def test_mesh_fallback_says_why_once(self):
+        """ADVICE r4: a --mesh session that cannot use the mesh must say
+        which divisibility condition failed, once."""
+        from fdoct_tpu.parallel import make_mesh
+        from fdoct_tpu.session import Session
+        cfg = self._cfg(averages=6)        # 6 % 4 != 0
+        s = Session(cfg, mesh=make_mesh(4, 2))
+        frames = self._frames(12)
+        s.process_group(frames)
+        msgs = [m for m in s.status if "mesh" in m and "divisible" in m]
+        assert len(msgs) == 1, s.status
+        s.process_group(frames)
+        assert len([m for m in s.status
+                    if "mesh" in m and "divisible" in m]) == 1
+
+    def test_mesh_median_halo_gate_says_why(self):
+        """mediann too large for the shard height gates the mesh loudly
+        (the halo needs k//2 rows per 'ascan' shard)."""
+        from fdoct_tpu.parallel import make_mesh
+        from fdoct_tpu.session import Session
+        cfg = self._cfg(mediann=7)         # h=3 > 16/8 = 2 rows per shard
+        s = Session(cfg, mesh=make_mesh(1, 8))
+        s.process_group(self._frames())
+        assert any("median halo" in m for m in s.status), s.status
+
+    def test_mesh_mediann_parity(self):
+        """mediann=3 on the mesh matches the single-device session (the
+        ppermute halo; round-5 VERDICT item 2 at the session level)."""
+        from fdoct_tpu.session import Session
+        cfg = self._cfg(mediann=3)
+        frames = self._frames()
+        ref = Session(cfg)
+        ra = ref.process_group(frames)
+        s, calls = self._mesh_session(cfg)
+        rb = s.process_group(frames)
+        assert calls, "mesh path was not used with mediann=3"
+        for x, y in zip(ra, rb):
+            np.testing.assert_allclose(np.asarray(x.bscandb),
+                                       np.asarray(y.bscandb), atol=1e-4)
+
+    def test_mesh_per_frame_normalize_parity(self):
+        """donotnormalize=False on the mesh matches the single-device
+        session (per-frame pmin/pmax; round-5 VERDICT item 1 at the
+        session level)."""
+        from fdoct_tpu.session import Session
+        cfg = self._cfg(donotnormalize=False)
+        # frame ranges differ so joint/shard-local min/max would diverge
+        frames = (self._frames().astype(np.float64)
+                  * (1.0 + 0.1 * np.arange(16)[:, None, None]))
+        ref = Session(cfg)
+        ra = ref.process_group(frames)
+        s, calls = self._mesh_session(cfg)
+        rb = s.process_group(frames)
+        assert calls, "mesh path was not used with donotnormalize=False"
+        for x, y in zip(ra, rb):
+            np.testing.assert_allclose(np.asarray(x.bscandb),
+                                       np.asarray(y.bscandb), atol=1e-4)

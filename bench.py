@@ -181,26 +181,32 @@ def main() -> None:
         pmed = float(np.median(psamples))
         return (med, spread), (pmed, (max(psamples) - min(psamples)) / pmed)
 
-    def per_group_of(name, fn, g1, g2, gen=None, fatal=True):
-        (t1, s1), (t2, s2) = measure(fn, g1, gen), measure(fn, g2, gen)
-        # sanity guard: median differenced timings must be positive and the
-        # long run must dominate the short one, else the metric JSON would
-        # silently encode noise.  Only the HEADLINE row is fatal: an
-        # alongside row hitting a wild chip-load window (spreads >100%
-        # observed) must not discard the whole bench — SystemExit would
-        # escape the alongside rows' `except Exception` guard.
+    def per_group_paired(name, fn, g1, g2):
+        """Alongside-row timing, INTERLEAVED with the bare-matmul reference
+        kernel in the same repeat loops (the round-4 headline policy,
+        extended to every row per the round-4 verdict): both see the
+        identical shared-chip load window, so ``per/ref`` is a
+        load-normalized ratio comparable across rounds where the raw
+        number swings ±30% with neighbors' work.  Returns (per_group,
+        ref_ratio_or_None); raises on inconsistent medians — an alongside
+        row hitting a wild load window must not discard the whole bench
+        (callers guard with try/except)."""
+        (t1, s1), (r1, _) = measure(fn, g1, pair_with=ref_groups)
+        (t2, s2), (r2, _) = measure(fn, g2, pair_with=ref_groups)
         if not (t2 > t1 > 0):
-            print(f"{'FATAL' if fatal else 'warn'}: inconsistent {name} "
-                  f"timings t({g1})={t1:.4f}s t({g2})={t2:.4f}s — "
-                  f"refusing to report a nonsense metric", file=sys.stderr)
-            if fatal:
-                raise SystemExit(1)
+            print(f"warn: inconsistent {name} timings t({g1})={t1:.4f}s "
+                  f"t({g2})={t2:.4f}s — refusing to report a nonsense "
+                  f"metric", file=sys.stderr)
             raise RuntimeError(f"inconsistent {name} timings")
         per = (t2 - t1) / (g2 - g1)
+        ratio = None
+        if r2 > r1 > 0:
+            ratio = per / ((r2 - r1) / (g2 - g1))
         print(f"info: {name} per-group {per*1e3:.3f} ms "
-              f"(median of {REPEATS}; spread {s1*100:.1f}%/{s2*100:.1f}%)",
-              file=sys.stderr)
-        return per
+              f"(median of {REPEATS}; spread {s1*100:.1f}%/{s2*100:.1f}%"
+              + (f"; ref ratio {ratio:.3f}" if ratio is not None else "")
+              + ")", file=sys.stderr)
+        return per, ratio
 
     # the batched shape materializes the whole f32 ratio intermediate
     # (G·8·512·2048·4 B); differencing sizes stay ≤64 groups (2 GB) so the
@@ -230,11 +236,11 @@ def main() -> None:
               f"(t({G1})={r1:.4f}s t({G2})={r2:.4f}s); ratio skipped",
               file=sys.stderr)
     try:
-        per_batched = per_group_of("batched", batched_groups, 16, 64,
-                                   fatal=False)
+        per_batched, batched_ratio = per_group_paired(
+            "batched", batched_groups, 16, 64)
     except Exception as e:  # pragma: no cover - bench resilience
         print(f"info: batched row skipped: {e}", file=sys.stderr)
-        per_batched = None
+        per_batched = batched_ratio = None
     ascans = BATCH * ROWS / per_group
 
     # ---- int8_direct display mode (reported alongside, never headline):
@@ -243,6 +249,7 @@ def main() -> None:
     # accuracy characterized in tests/test_int8direct.py + BENCH.md)
     int8_ascans = None
     int8_batched_ascans = None
+    int8_ratio = int8b_ratio = None
     try:
         from fdoct_tpu.int8direct import (Int8DirectPlan,
                                           reconstruct_int8_direct,
@@ -266,8 +273,8 @@ def main() -> None:
                 return c + disp.sum(), 0.0
             return jax.lax.scan(step, jnp.float32(0), all_frames)[0]
 
-        per_int8 = per_group_of("int8_direct", int8_groups, G1, G2,
-                                fatal=False)
+        per_int8, int8_ratio = per_group_paired(
+            "int8_direct", int8_groups, G1, G2)
         int8_ascans = BATCH * ROWS / per_int8
 
         # batched/offline form of the int8 path (the process_group /
@@ -283,8 +290,8 @@ def main() -> None:
                 lambda s: form_bscan(s, cfg, averages=BATCH).bscandisp)(msum)
             return disp.sum()
 
-        per_int8b = per_group_of("int8_batched", int8_batched, 16, 64,
-                                 fatal=False)
+        per_int8b, int8b_ratio = per_group_paired(
+            "int8_batched", int8_batched, 16, 64)
         int8_batched_ascans = BATCH * ROWS / per_int8b
     except Exception as e:  # pragma: no cover - bench resilience
         print(f"info: int8 row(s) incomplete: {e}", file=sys.stderr)
@@ -320,13 +327,22 @@ def main() -> None:
         # same shape, measured interleaved — stable where the raw number
         # swings with shared-chip load (BENCH.md round-4 policy)
         out["headline_ref_ratio"] = round(ref_ratio, 3)
-    # alongside rows (display modes / offline shape), not the headline
+    # alongside rows (display modes / offline shape), not the headline.
+    # Every row carries its load-normalized *_ref_ratio (time / interleaved
+    # bare-matmul time, round-5 VERDICT item 4) so a future round can tell
+    # shared-chip weather from a real regression.
     if per_batched is not None:
         out["batched_ascans_per_sec"] = round(BATCH * ROWS / per_batched, 1)
+    if batched_ratio is not None:
+        out["batched_ref_ratio"] = round(batched_ratio, 3)
     if int8_ascans is not None:
         out["int8_direct_ascans_per_sec"] = round(int8_ascans, 1)
+    if int8_ratio is not None:
+        out["int8_ref_ratio"] = round(int8_ratio, 3)
     if int8_batched_ascans is not None:
         out["int8_batched_ascans_per_sec"] = round(int8_batched_ascans, 1)
+    if int8b_ratio is not None:
+        out["int8_batched_ref_ratio"] = round(int8b_ratio, 3)
     print(json.dumps(out))
 
 

@@ -19,6 +19,11 @@ Run (CPU emulation of 2 hosts — also what tests/test_multihost.py drives):
 
     python examples/multihost_stream_cscan.py --pid 0 --port 12345 &
     python examples/multihost_stream_cscan.py --pid 1 --port 12345
+
+``--nprocs 4 --grid 2x2`` runs a FOUR-process 2x2 process grid instead:
+frames shard over 'data' AND A-scan rows over 'ascan' across processes,
+so both volume-assembly all_gathers cross the process boundary
+(tests/test_multihost.py::test_four_process_streaming_cscan_2x2_grid).
 """
 
 from __future__ import annotations
@@ -32,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--pid", type=int, required=True, help="process id (0/1)")
     ap.add_argument("--port", required=True, help="coordinator port")
     ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--grid", default="",
+                    help="process grid DxA (default: nprocs x 1); a 2x2 "
+                         "grid shards frames over 'data' AND rows over "
+                         "'ascan' across processes (round-5 stretch)")
     ap.add_argument("--batches", type=int, default=3,
                     help="streamed volume batches (global batch = 4 frames)")
     args = ap.parse_args(argv)
@@ -60,8 +69,19 @@ def main(argv=None) -> int:
     bg = jnp.asarray(np.full((8, 64), 100.0))
     pi = jnp.zeros_like(bg)
 
+    if args.grid:
+        gd, ga = (int(x) for x in args.grid.lower().split("x"))
+    else:
+        gd, ga = args.nprocs, 1
+    assert gd * ga == args.nprocs, (gd, ga, args.nprocs)
+    # process p sits at grid position (p // ga, p % ga): it streams the
+    # frame slice of its 'data' row and the A-scan row block of its
+    # 'ascan' column — a 2-axis DCN-analog decomposition of acquisition
+    pd, pa = args.pid // ga, args.pid % ga
     GLOBAL_BATCH = 4
-    local_batch = GLOBAL_BATCH // args.nprocs
+    local_batch = GLOBAL_BATCH // gd
+    H = 8
+    h_loc = H // ga
     n_frames_global = args.batches * GLOBAL_BATCH
 
     # every host can regenerate the GLOBAL frame stream (seeded), so the
@@ -74,10 +94,11 @@ def main(argv=None) -> int:
     def local_stream():
         for b in range(args.batches):
             batch = frames_global[b * GLOBAL_BATCH:(b + 1) * GLOBAL_BATCH]
-            yield from batch[args.pid * local_batch:
-                             (args.pid + 1) * local_batch]
+            mine = batch[pd * local_batch:(pd + 1) * local_batch,
+                         pa * h_loc:(pa + 1) * h_loc]
+            yield from mine
 
-    mesh = make_mesh(args.nprocs, 1)       # hosts x 1 (frames over 'data')
+    mesh = make_mesh(gd, ga)   # process grid: frames x A-scan rows
     sharding = NamedSharding(mesh, P("data", "ascan", None))
     vol_step = build_cscan_volume(mesh, calib, cfg, method="fused",
                                   gather_full=True)

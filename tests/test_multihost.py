@@ -22,18 +22,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_procs(cmd_for_pid, ok_token: str):
+def _run_procs(cmd_for_pid, ok_token: str, nprocs: int = 2):
     import os
     env = {**os.environ, "PYTHONPATH": f"{HERE.parent}:{HERE}"}
-    # conftest forces 8 virtual devices per process; the 2-host emulation
-    # wants exactly 1 local device each
+    # conftest forces 8 virtual devices per process; the multi-host
+    # emulation wants exactly 1 local device each
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
     procs = [subprocess.Popen(cmd_for_pid(pid), env=env,
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True)
-             for pid in (0, 1)]
+             for pid in range(nprocs)]
     outs = []
     try:
         for p in procs:
@@ -48,14 +48,15 @@ def _run_two_procs(cmd_for_pid, ok_token: str):
         pytest.skip(f"distributed init unavailable: {err0[-500:]}")
     assert rc0 == 0, err0[-1000:]
     assert ok_token in out0
-    assert outs[1][0] == 0, outs[1][2][-1000:]
+    for rc, _, err in outs[1:]:
+        assert rc == 0, err[-1000:]
 
 
 def test_two_process_bscan_parity():
     port = str(_free_port())
     worker = str(HERE / "multihost_worker.py")
-    _run_two_procs(lambda pid: [sys.executable, worker, str(pid), port],
-                   "MULTIHOST_OK")
+    _run_procs(lambda pid: [sys.executable, worker, str(pid), port],
+               "MULTIHOST_OK")
 
 
 def test_two_process_streaming_cscan():
@@ -65,7 +66,21 @@ def test_two_process_streaming_cscan():
     process 0 checks parity vs a single-process reconstruction."""
     port = str(_free_port())
     script = str(HERE.parent / "examples" / "multihost_stream_cscan.py")
-    _run_two_procs(
+    _run_procs(
         lambda pid: [sys.executable, script, "--pid", str(pid),
                      "--port", port],
         "STREAM_CSCAN_OK")
+
+
+def test_four_process_streaming_cscan_2x2_grid():
+    """Round-5 VERDICT item 8 (stretch): FOUR processes on a 2x2 process
+    grid — frames sharded over 'data' AND A-scan rows over 'ascan' across
+    the process boundary, so the volume assembly's all_gather('ascan')
+    and the gather_full all_gather('data') both cross processes (the
+    multi-axis DCN-analog of BASELINE's >=2-host C-scan config)."""
+    port = str(_free_port())
+    script = str(HERE.parent / "examples" / "multihost_stream_cscan.py")
+    _run_procs(
+        lambda pid: [sys.executable, script, "--pid", str(pid),
+                     "--port", port, "--nprocs", "4", "--grid", "2x2"],
+        "STREAM_CSCAN_OK", nprocs=4)

@@ -88,7 +88,7 @@ def main() -> None:
                          ).astype(np.uint8))
 
         def call():
-            outs = _session_group_pipeline(
+            outs, _, _ = _session_group_pipeline(
                 frames, s.data_yb, s.data_yp, s.data_yd, thr, s.calib,
                 cfg, groups, BATCH, "fused", False, 1e-5)
             return float(jnp.sum(outs.bscandisp))
@@ -122,6 +122,48 @@ def main() -> None:
     ingest = GROUPS_PER_CALL * BATCH * ROWS / best
     print(json.dumps({"metric": "session_ascans_per_sec_host_frames",
                       "value": round(ingest, 1), "unit": "ascans/s"}),
+          flush=True)
+
+    # ---- round-5 A/B: the cliff removed by keeping saveframes on the
+    # fast path (VERDICT r4 item 3).  "fast" = process_group with
+    # saveframes=1 (one fused dispatch per batch + the per-frame-mags D2H
+    # the ring fill inherently needs); "slow" = the pre-round-5 behavior,
+    # per-frame process() dispatches (same D2H, per-frame launch + RTT).
+    # Both rows pay the mags device→host copy — on this dev tunnel that
+    # transfer dominates both; the dispatch-count cliff is the delta.
+    n_ab = 2 * BATCH                       # 2 groups keeps tunnel D2H sane
+    ab_frames = dev_frames[:n_ab]
+    cfg_s = cfg.replace(saveframes=True)
+
+    def session_s():
+        ss = Session(cfg_s)
+        ss.data_yb = s.data_yb
+        return ss
+
+    def time_of(fn, reps=3):
+        fn()                               # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    sf = session_s()
+    t_fast = time_of(lambda: sf.process_group(ab_frames))
+    sp = session_s()
+
+    def per_frame():
+        for f in ab_frames:
+            sp.process(f)
+
+    t_slow = time_of(per_frame)
+    print(json.dumps({"metric": "session_saveframes_ab",
+                      "fast_ms_per_group": round(t_fast / 2 * 1e3, 3),
+                      "per_frame_ms_per_group": round(t_slow / 2 * 1e3, 3),
+                      "speedup": round(t_slow / t_fast, 2),
+                      "note": "saveframes=1 batched fast path vs the "
+                              "pre-r5 per-frame fallback, 2 groups"}),
           flush=True)
 
 

@@ -47,7 +47,14 @@ def _load_cfg(args) -> "PipelineConfig":
 _open_sources: list = []   # sources needing close() (daemon-owning), see main()
 
 
-def _frame_iter(src, idle_timeout_s: float = 10.0):
+def _idle_timeout(args) -> float:
+    """--idle-timeout resolution: 0 disables the cap (legitimate
+    slow-trigger workflows where pulses arrive minutes apart)."""
+    t = getattr(args, "idle_timeout", 60.0)
+    return float("inf") if t == 0 else float(t)
+
+
+def _frame_iter(src, idle_timeout_s: float = 60.0):
     """Blocking frame iterator for sequential/batch consumers.
 
     A triggered CameraSource yields ``None`` between pulses so the live
@@ -60,7 +67,8 @@ def _frame_iter(src, idle_timeout_s: float = 10.0):
     viewport / fps / sweep on a trigger-mode daemon, or a capture whose
     pulse's frame was overwritten) would otherwise block forever with no
     diagnostic, so ``idle_timeout_s`` of continuous idle yields raises a
-    clear error instead."""
+    clear error instead.  The cmd_* consumers thread ``--idle-timeout``
+    through (0 = wait forever, for operator-paced trigger workflows)."""
     import time as _time
 
     def gen():
@@ -207,14 +215,14 @@ def cmd_sim(args) -> int:
     s.plugins.append(JMaskPlugin())      # the sim J-threshold mask path
     s.key("b")
     s.key("p")
-    it = _frame_iter(src)
+    it = _frame_iter(src, _idle_timeout(args))
 
     if args.debug_dump:
         # first-iteration intermediate dump for the Octave cross-check flow
         # (BscanFFTsim.cpp:901-909 saves data_ylin + nearestkindex)
         import jax.numpy as jnp
         from fdoct_tpu.pipeline import apodize_ratio, linearize, preprocess
-        first = next(_frame_iter(src))
+        first = next(_frame_iter(src, _idle_timeout(args)))
         y = preprocess(jnp.asarray(first), cfg)
         bgp = preprocess(jnp.asarray(src.background()), cfg)
         pip = preprocess(jnp.asarray(src.pi_frame()), cfg)
@@ -469,7 +477,7 @@ def cmd_capture(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
-    it = _frame_iter(src)
+    it = _frame_iter(src, _idle_timeout(args))
     n = args.sets
     m = args.frames_per_set or cfg.manualaverages
     # with a trigger-mode daemon attached, fire one software pulse per
@@ -517,7 +525,7 @@ def cmd_offline(args) -> int:
     if not sets:
         print(f"no Trig*.png sets in {args.dirname}", file=sys.stderr)
         return 1
-    first = next(_frame_iter(src))
+    first = next(_frame_iter(src, _idle_timeout(args)))
     h, w = first.shape
     cfg = cfg.replace(width=w * max(cfg.binvalue, 1),
                       height=h * max(cfg.binvalue, 1))
@@ -548,7 +556,7 @@ def cmd_viewport(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     sink = RunWriter(args.outdir, cfg.dirdescr, fmt="m")
-    it = _frame_iter(src)
+    it = _frame_iter(src, _idle_timeout(args))
     for i in range(args.frames):
         frame = next(it)
         peak = 255.0 if frame.dtype == np.uint8 else 65535.0
@@ -574,7 +582,7 @@ def cmd_fps(args) -> int:
     cfg = _load_cfg(args)
     src = _make_source(args, cfg)
     meter = FpsMeter(window_s=args.window)
-    it = _frame_iter(src)
+    it = _frame_iter(src, _idle_timeout(args))
     import time
     t_end = time.monotonic() + args.seconds
     while time.monotonic() < t_end:
@@ -639,7 +647,7 @@ def cmd_cscan(args) -> int:
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
     calib = Calibration.create(cfg)
-    it = _frame_iter(src)
+    it = _frame_iter(src, _idle_timeout(args))
     volume_raw = np.stack([next(it) for _ in range(args.frames)])
     bg = jnp.maximum(preprocess(jnp.asarray(src.background()), cfg), 1.0)
     pi = jnp.zeros_like(bg)
@@ -717,7 +725,7 @@ def cmd_sweep(args) -> int:
     if getattr(args, "image", None):
         cfg = _autosize(cfg, src)
     calib = Calibration.create(cfg)
-    raw = next(_frame_iter(src))
+    raw = next(_frame_iter(src, _idle_timeout(args)))
     bg = preprocess(jnp.asarray(src.background()), cfg)
     bg = jnp.maximum(bg, 1.0)
     pi = jnp.zeros_like(bg)
@@ -760,7 +768,7 @@ def cmd_selftest(args) -> int:
     calib = Calibration.create(cfg)
     src = SyntheticSource(height=16, width=256, depths_um=(50.0,),
                           reflectivities=(0.5,))
-    raw = jnp.asarray(np.stack([next(_frame_iter(src))] * 2))
+    raw = jnp.asarray(np.stack([next(_frame_iter(src, _idle_timeout(args)))] * 2))
     bg = jnp.asarray(np.maximum(src.background(), 1).astype(np.float32))
     pi = jnp.zeros_like(bg)
     ok = True
@@ -911,6 +919,12 @@ def build_parser() -> argparse.ArgumentParser:
                             help="daemon trigger mode: sw = software pulses "
                                  "(t/k/| keys fire them), hw = hardware "
                                  "Line0 (Spinnaker; BscanFFTspinj)")
+            sp.add_argument("--idle-timeout", type=float, default=60.0,
+                            metavar="S",
+                            help="error out after S seconds of a triggered "
+                                 "source yielding no frames (this consumer "
+                                 "fires no pulses); 0 waits forever — for "
+                                 "operator-paced trigger workflows")
 
     sp = sub.add_parser("sim", help="replay reconstruction")
     common(sp)

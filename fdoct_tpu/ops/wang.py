@@ -61,7 +61,10 @@ def depth_axis(n: int, sigma_k: float, nsigma: float = 5.0,
     (wangOCT.m:34-36): bin = 1/sampling-range of k/(2π), scaled by the
     round-trip 2·ns."""
     dls_prime = 1.0 / (2.0 * nsigma * sigma_k / (2.0 * np.pi))
-    return dls_prime * np.arange(-n // 2, n // 2) / (2.0 * ns)
+    # fftshift bin order: offsets -(n//2) .. n-1-(n//2) for both parities
+    # (odd n runs -(n-1)/2 .. (n-1)/2; `arange(-n//2, n//2)` would be one
+    # bin off there)
+    return dls_prime * (np.arange(n) - n // 2) / (2.0 * ns)
 
 
 def wang_interferogram_pair(depths_m=(90e-6, 150e-6),

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from fdoct_tpu.calibration import Calibration
 from fdoct_tpu.config import PipelineConfig
 from fdoct_tpu.ops import (
-    bin_area, ifft_mag_rows, median_blur, normalize_rows,
+    bin_area, ifft_mag_rows, median_blur, normalize_minmax, normalize_rows,
     resample_klinear, smooth_moving_average, to_db, to_uint8, zeropad_rowwise,
     threshold_floor,
 )
@@ -86,15 +86,18 @@ def apodize_ratio(y: jnp.ndarray, background: jnp.ndarray,
         y = normalize_rows(y, 0.0, 1.0)
     if not cfg.donotnormalize:
         axes = (-2, -1) if y.ndim >= 2 else (-1,)
-        lo = jnp.min(y, axis=axes, keepdims=True)
-        hi = jnp.max(y, axis=axes, keepdims=True)
-        if ascan_axis is not None:
-            lo = jax.lax.pmin(lo, ascan_axis)
-            hi = jax.lax.pmax(hi, ascan_axis)
-        rng = hi - lo
-        safe = jnp.where(rng == 0, 1.0, rng)
-        # cv::normalize NORM_MINMAX: constant frames map to the low bound
-        y = jnp.where(rng == 0, 0.0, (y - lo) / safe)
+        if ascan_axis is None:
+            y = normalize_minmax(y, 0.0, 1.0, axis=axes)
+        else:
+            lo = jax.lax.pmin(jnp.min(y, axis=axes, keepdims=True),
+                              ascan_axis)
+            hi = jax.lax.pmax(jnp.max(y, axis=axes, keepdims=True),
+                              ascan_axis)
+            rng = hi - lo
+            safe = jnp.where(rng == 0, 1.0, rng)
+            # cv::normalize NORM_MINMAX semantics like normalize_minmax:
+            # constant frames map to the low bound
+            y = jnp.where(rng == 0, 0.0, (y - lo) / safe)
     return (y - pi_frame) / background
 
 

@@ -685,8 +685,6 @@ class Session:
                     results.append(r)
             return results
 
-        self._tick_fps(frames[-1], n=n)
-        groups = n // avg
         # stay on HOST memory until the placement is decided: the mesh path
         # device_puts each group's slice with its sharding directly (one
         # host→device transfer), instead of committing the whole batch to
@@ -705,11 +703,14 @@ class Session:
         if cfg.saveinterferograms and farr.ndim == 4:
             # the raw ring stores the post-channel-select frame (process());
             # reproducing that host-side for color sources isn't worth the
-            # extra path — per-frame dispatches handle this corner
+            # extra path — per-frame dispatches handle this corner.  Taken
+            # BEFORE _tick_fps: the per-frame path ticks per frame itself.
             self._say_once("slow:color-interferograms",
                            "fast path disengaged (color frames + "
                            "saveinterferograms) — per-frame dispatches")
             return [r for f in frames if (r := self.process(f)) is not None]
+        self._tick_fps(frames[-1], n=n)
+        groups = n // avg
         if self.mesh is not None and self._mesh_ok(farr, avg):
             return self._process_group_mesh(farr, groups, avg)
         farr = jnp.asarray(farr)

@@ -142,11 +142,14 @@ void *fdoct_ring_open(const char *path, int create, uint32_t width,
       }
     }
     memset(mem, 0, map_bytes);
-    // RELEASE: readers load the epoch with ACQUIRE (fdoct_ring_epoch) and
-    // treat any change as a restart signal; a plain store could become
-    // visible AFTER the new writer's first head/frame publications on a
-    // weakly-ordered architecture, re-opening the restart-races-head
-    // window the field exists to close.
+    // RELEASE: readers load the epoch with ACQUIRE (fdoct_ring_epoch), so
+    // a reader that observes the bumped epoch is guaranteed to also see
+    // the memset-zeroed header (release orders the PRIOR writes before
+    // this store).  The other direction — epoch visible before the new
+    // writer's first head/frame publications — is closed by the RELEASE
+    // store on head in fdoct_ring_push (which orders this earlier epoch
+    // write before head); keep BOTH release stores or the
+    // restart-races-head window reopens on weakly-ordered architectures.
     __atomic_store_n(&r->hdr->epoch, old_epoch + 1, __ATOMIC_RELEASE);
     r->hdr->ctrl_seq = keep_seq;
     r->hdr->ctrl_mask = keep_mask;

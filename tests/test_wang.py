@@ -92,3 +92,17 @@ def test_batched_rows_match_single(fixture):
     one = np.asarray(differential_deconvolved_ift(I1, I2, S))
     np.testing.assert_allclose(got[0], one, rtol=1e-12)
     np.testing.assert_allclose(got[1], 2.0 * one, rtol=1e-12)
+
+
+def test_depth_axis_odd_n_matches_fftshift_order():
+    """Odd sample counts: fftshift orders bins -(n-1)/2 .. (n-1)/2; the
+    depth axis must line up (a single pure tone lands on its own bin)."""
+    for n in (15, 16):
+        ax = depth_axis(n, sigma_k=1.0, nsigma=0.5, ns=1.0)
+        # e^{+i2π·3k/n} lands on ifft bin -3 (numpy ifft kernel e^{+i...})
+        k = np.arange(n)
+        tone = np.exp(1j * 2 * np.pi * 3 * k / n)
+        spec = np.abs(np.fft.fftshift(np.fft.ifft(tone)))
+        dbin = ax[1] - ax[0]
+        got = ax[int(np.argmax(spec))]
+        assert abs(got + 3 * dbin) < 1e-12 * abs(3 * dbin)

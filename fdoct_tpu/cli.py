@@ -47,14 +47,19 @@ def _load_cfg(args) -> "PipelineConfig":
 _open_sources: list = []   # sources needing close() (daemon-owning), see main()
 
 
+#: default cap on continuous triggered-idle yields (single source of
+#: truth for the argparse default, _idle_timeout fallback and _frame_iter)
+IDLE_TIMEOUT_DEFAULT_S = 60.0
+
+
 def _idle_timeout(args) -> float:
-    """--idle-timeout resolution: 0 disables the cap (legitimate
+    """--idle-timeout resolution: <= 0 disables the cap (legitimate
     slow-trigger workflows where pulses arrive minutes apart)."""
-    t = getattr(args, "idle_timeout", 60.0)
-    return float("inf") if t == 0 else float(t)
+    t = float(getattr(args, "idle_timeout", IDLE_TIMEOUT_DEFAULT_S))
+    return float("inf") if t <= 0 else t
 
 
-def _frame_iter(src, idle_timeout_s: float = 60.0):
+def _frame_iter(src, idle_timeout_s: float = IDLE_TIMEOUT_DEFAULT_S):
     """Blocking frame iterator for sequential/batch consumers.
 
     A triggered CameraSource yields ``None`` between pulses so the live
@@ -219,10 +224,13 @@ def cmd_sim(args) -> int:
 
     if args.debug_dump:
         # first-iteration intermediate dump for the Octave cross-check flow
-        # (BscanFFTsim.cpp:901-909 saves data_ylin + nearestkindex)
+        # (BscanFFTsim.cpp:901-909 saves data_ylin + nearestkindex) — reuse
+        # ``it``: a second iterator would consume (and lose) a real frame
         import jax.numpy as jnp
         from fdoct_tpu.pipeline import apodize_ratio, linearize, preprocess
-        first = next(_frame_iter(src, _idle_timeout(args)))
+        import itertools as _it
+        first = next(it)
+        it = _it.chain([first], it)      # put it back for the main loop
         y = preprocess(jnp.asarray(first), cfg)
         bgp = preprocess(jnp.asarray(src.background()), cfg)
         pip = preprocess(jnp.asarray(src.pi_frame()), cfg)
@@ -919,12 +927,15 @@ def build_parser() -> argparse.ArgumentParser:
                             help="daemon trigger mode: sw = software pulses "
                                  "(t/k/| keys fire them), hw = hardware "
                                  "Line0 (Spinnaker; BscanFFTspinj)")
-            sp.add_argument("--idle-timeout", type=float, default=60.0,
-                            metavar="S",
+            sp.add_argument("--idle-timeout", type=float,
+                            default=IDLE_TIMEOUT_DEFAULT_S, metavar="S",
                             help="error out after S seconds of a triggered "
-                                 "source yielding no frames (this consumer "
-                                 "fires no pulses); 0 waits forever — for "
-                                 "operator-paced trigger workflows")
+                                 "source yielding no frames; <= 0 waits "
+                                 "forever (operator-paced trigger "
+                                 "workflows).  Applies to the sequential "
+                                 "consumers (sim/capture/viewport/fps/"
+                                 "cscan/sweep); `live` services the "
+                                 "pulse-firing keys itself and ignores it")
 
     sp = sub.add_parser("sim", help="replay reconstruction")
     common(sp)

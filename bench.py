@@ -342,6 +342,10 @@ def main() -> None:
         # same shape, measured interleaved — stable where the raw number
         # swings with shared-chip load (BENCH.md round-4 policy)
         out["headline_ref_ratio"] = round(ref_ratio, 3)
+    # worst per-length sample spread of the headline medians: a reader of
+    # the persisted JSON can tell a calm window (<20%) from a pathological
+    # one (94% observed) without the stderr log
+    out["headline_spread"] = round(max(hs1, hs2), 3)
     # alongside rows (display modes / offline shape), not the headline.
     # Every row carries its load-normalized *_ref_ratio (time / interleaved
     # bare-matmul time, round-5 VERDICT item 4) so a future round can tell

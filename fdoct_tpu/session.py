@@ -631,6 +631,15 @@ class Session:
             self._said_once.add(key)
             self._say(text)
 
+    def _per_frame_fallback(self, frames, why: str) -> list[BscanResult]:
+        """The slow path, with its one-shot diagnosis.  Runs BEFORE any
+        batched fps tick — process() ticks per frame itself."""
+        self._say_once(
+            f"slow:{why}",
+            f"fast path disengaged ({why}) — per-frame dispatches"
+            + ("; mesh unused" if self.mesh is not None else ""))
+        return [r for f in frames if (r := self.process(f)) is not None]
+
     def _fast_path_blocker(self, n: int, avg: int) -> str | None:
         """Why this batch cannot ride the one-dispatch fast path, or None.
 
@@ -674,16 +683,7 @@ class Session:
         avg = self.averagestoggle
         why = self._fast_path_blocker(n, avg)
         if why is not None:
-            self._say_once(
-                f"slow:{why}",
-                f"fast path disengaged ({why}) — per-frame dispatches"
-                + ("; mesh unused" if self.mesh is not None else ""))
-            results = []
-            for f in frames:
-                r = self.process(f)
-                if r is not None:
-                    results.append(r)
-            return results
+            return self._per_frame_fallback(frames, why)
 
         # stay on HOST memory until the placement is decided: the mesh path
         # device_puts each group's slice with its sharding directly (one
@@ -703,12 +703,9 @@ class Session:
         if cfg.saveinterferograms and farr.ndim == 4:
             # the raw ring stores the post-channel-select frame (process());
             # reproducing that host-side for color sources isn't worth the
-            # extra path — per-frame dispatches handle this corner.  Taken
-            # BEFORE _tick_fps: the per-frame path ticks per frame itself.
-            self._say_once("slow:color-interferograms",
-                           "fast path disengaged (color frames + "
-                           "saveinterferograms) — per-frame dispatches")
-            return [r for f in frames if (r := self.process(f)) is not None]
+            # extra path — per-frame dispatches handle this corner
+            return self._per_frame_fallback(frames,
+                                            "color frames + saveinterferograms")
         self._tick_fps(frames[-1], n=n)
         groups = n // avg
         if self.mesh is not None and self._mesh_ok(farr, avg):
@@ -998,18 +995,17 @@ class Session:
         # J-lockin subtraction (BscanFFT.cpp:1225-1232, 1257-1282).
         # The sim variant does J-threshold *masking* instead (JMaskPlugin,
         # BscanFFTsim.cpp:959-975), not the dB subtraction.
-        sub_db = None
         if self.jlockin and self.jscansave is not None and self.variant != "sim":
-            jdiff = out.bscan - self.jscansave
-            positive = make_only_positive(jdiff) + 0.001
-            sub_db = to_db(positive, eps=0.0, compat=cfg.compat)
-            disp = threshold_floor(sub_db, self.bscanthreshold)
-            disp = normalize_minmax(disp, 0.0, 1.0)
-            result.sub_disp = np.asarray(to_uint8(disp))
+            # same jitted chain as the batched fast path (stack of one) —
+            # one implementation, so the two paths cannot drift
+            sub_db, sub_disp = _jlockin_batch(
+                jnp.asarray(out.bscan)[None], jnp.asarray(self.jscansave),
+                jnp.asarray(self.bscanthreshold, out.bscan.dtype), cfg)
+            result.sub_disp = np.asarray(sub_disp[0])
             if self.sink is not None:
                 self.manualindexi += 1
                 self.sink.save_data(f"bscansub{self.manualindexi:03d}",
-                                    np.asarray(sub_db))
+                                    np.asarray(sub_db[0]))
                 self.sink.save_image(f"bscansub{self.manualindexi:03d}",
                                      result.sub_disp)
                 self.sink.save_colormapped(f"bscansubc{self.manualindexi:03d}",

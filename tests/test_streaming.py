@@ -205,36 +205,47 @@ class TestMeshStreaming:
         assert not np.array_equal(flat, np.asarray(r1[0].bscandisp))
 
 
+def _mesh_cfg(**over):
+    """Small mesh-friendly config shared by the mesh session test classes."""
+    base = dict(width=64, height=16, averages=8, numfftpoints=128,
+                numdisplaypoints=40, dtype="float32", donotnormalize=True)
+    base.update(over)
+    return PipelineConfig(**base)
+
+
+def _mesh_frames(n=16, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(10, 250, (n, 16, 64)).astype(np.uint8)
+
+
+def _spy_mesh(s):
+    """Count _process_group_mesh uses and make per-frame fallback fatal."""
+    calls = []
+    orig = s._process_group_mesh
+    s._process_group_mesh = lambda *a, **k: calls.append(1) or orig(*a, **k)
+
+    def boom(raw):
+        raise AssertionError("mesh session fell back to per-frame")
+    s.process = boom
+    return calls
+
+
 class TestMeshStatefulFlags:
     """Round-5 VERDICT item 3 on the mesh: the reference's working save
     mode (saveframes while averaging, BscanFFT.cpp:961-984) and J-lockin
     must keep a mesh-configured session ON the sharded steps."""
 
     def _cfg(self, **over):
-        from fdoct_tpu.config import PipelineConfig
-        base = dict(width=64, height=16, averages=8, numfftpoints=128,
-                    numdisplaypoints=40, dtype="float32",
-                    donotnormalize=True)
-        base.update(over)
-        return PipelineConfig(**base)
+        return _mesh_cfg(**over)
 
     def _frames(self, n=16):
-        rng = np.random.default_rng(7)
-        return rng.integers(10, 250, (n, 16, 64)).astype(np.uint8)
+        return _mesh_frames(n)
 
     def _mesh_session(self, cfg):
         from fdoct_tpu.parallel import make_mesh
         from fdoct_tpu.session import Session
         s = Session(cfg, mesh=make_mesh(4, 2))
-        calls = []
-        orig = s._process_group_mesh
-        s._process_group_mesh = (
-            lambda *a, **k: calls.append(1) or orig(*a, **k))
-
-        def boom(raw):
-            raise AssertionError("mesh session fell back to per-frame")
-        s.process = boom
-        return s, calls
+        return s, _spy_mesh(s)
 
     def test_mesh_saveframes_stays_sharded(self):
         from fdoct_tpu.session import Session
@@ -349,16 +360,10 @@ class TestMeshVariants:
     results — against the single-device session."""
 
     def _frames(self, n, seed=7):
-        rng = np.random.default_rng(seed)
-        return rng.integers(10, 250, (n, 16, 64)).astype(np.uint8)
+        return _mesh_frames(n, seed)
 
     def _cfg(self, **over):
-        from fdoct_tpu.config import PipelineConfig
-        base = dict(width=64, height=16, averages=8, numfftpoints=128,
-                    numdisplaypoints=40, dtype="float32",
-                    donotnormalize=True)
-        base.update(over)
-        return PipelineConfig(**base)
+        return _mesh_cfg(**over)
 
     def test_mesh_dark_variant_end_to_end(self):
         """BscanDark on the mesh: 'o'/'r'/'t' arm captures (per-frame by
@@ -383,10 +388,7 @@ class TestMeshVariants:
         np.testing.assert_allclose(np.asarray(ref.data_yb),
                                    np.asarray(mesh_s.data_yb))
         # steady state: the mesh session must use the sharded step
-        calls = []
-        orig = mesh_s._process_group_mesh
-        mesh_s._process_group_mesh = (
-            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        calls = _spy_mesh(mesh_s)
         ra = ref.process_group(frames[24:40])
         rb = mesh_s.process_group(frames[24:40])
         assert calls, "dark mesh session did not use the sharded step"
@@ -419,10 +421,7 @@ class TestMeshVariants:
 
         ref = prime(Session(cfg, variant="dark"))
         mesh_s = prime(Session(cfg, variant="dark", mesh=make_mesh(4, 2)))
-        calls = []
-        orig = mesh_s._process_group_mesh
-        mesh_s._process_group_mesh = (
-            lambda *a, **k: calls.append(1) or orig(*a, **k))
+        calls = _spy_mesh(mesh_s)
         ra = ref.process_group(frames)
         rb = mesh_s.process_group(frames)
         assert calls, "int8 dark mesh session did not use the sharded step"
@@ -468,11 +467,7 @@ class TestMeshVariants:
             s.ascanat = 4
             plug = s.plugins[0]
             plug.set_roi(x=2, y=10, w=4, h=140)
-            calls = []
-            if mesh is not None:
-                orig = s._process_group_mesh
-                s._process_group_mesh = (
-                    lambda *a, **k: calls.append(1) or orig(*a, **k))
+            calls = _spy_mesh(s) if mesh is not None else []
             for key, frames in (("1", still_b), ("2", still_b),
                                 ("3", vibr_b)):
                 s.key(key)

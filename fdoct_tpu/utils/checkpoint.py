@@ -15,12 +15,21 @@ import numpy as np
 import jax.numpy as jnp
 
 _TENSORS = ("data_yb", "data_yp", "data_yd", "data_yr", "data_ys")
-_SCALARS = ("averagestoggle", "bscanthreshold", "exposure_us", "gain",
-            "ascanat", "vertposROI", "widthROI", "indexi", "manualindexi")
+#: cross-group state that may legitimately be absent (a session that never
+#: armed J-lockin has no jscansave); written only when present, restored
+#: only when stored — old checkpoints load unchanged
+_OPT_TENSORS = ("jscansave",)
+_SCALARS = ("averagestoggle", "averages", "bscanthreshold", "exposure_us",
+            "gain", "ascanat", "vertposROI", "widthROI", "indexi",
+            "manualindexi", "jlockin")
 
 
 def _payload(session) -> dict:
     payload = {f"tensor_{k}": np.asarray(getattr(session, k)) for k in _TENSORS}
+    for k in _OPT_TENSORS:
+        v = getattr(session, k, None)
+        if v is not None:
+            payload[f"tensor_{k}"] = np.asarray(v)
     payload.update({f"scalar_{k}": np.asarray(getattr(session, k))
                     for k in _SCALARS})
     payload["config_json"] = np.frombuffer(
@@ -89,9 +98,16 @@ def load_session(path: str | Path, session=None, backend: str = "npz",
     cfg = PipelineConfig.from_json(bytes(data["config_json"]).decode())
     if session is None:
         session = Session(cfg, **session_kwargs)
+    keys = set(getattr(data, "files", data))
     for k in _TENSORS:
         setattr(session, k, jnp.asarray(data[f"tensor_{k}"]))
+    for k in _OPT_TENSORS:
+        if f"tensor_{k}" in keys:
+            setattr(session, k, jnp.asarray(data[f"tensor_{k}"]))
     for k in _SCALARS:
+        if f"scalar_{k}" not in keys:
+            continue                  # older checkpoint: keep the default
         v = data[f"scalar_{k}"][()]
-        setattr(session, k, type(getattr(session, k))(v))
+        cur = getattr(session, k)
+        setattr(session, k, type(cur)(v) if cur is not None else v)
     return session

@@ -170,3 +170,61 @@ class TestOrbaxCheckpoint:
         assert s2.cfg == cfg
         assert np.allclose(np.asarray(s2.data_yb), 7.5)
         assert s2.exposure_us == 321
+
+
+class TestCheckpointJlockin:
+    """Round-5: cross-group J-lockin state and the live-adjusted averages
+    base survive checkpoint/resume — a session resumed mid-lockin must
+    keep subtracting against the SAME reference scan."""
+
+    def _cfg(self):
+        from fdoct_tpu.config import PipelineConfig
+        return PipelineConfig(width=64, height=8, averages=2,
+                              numfftpoints=128, numdisplaypoints=40,
+                              dtype="float64")
+
+    def test_jlockin_state_roundtrips(self, tmp_path):
+        import numpy as _np
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.sources.synthetic import SyntheticSource
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        src = SyntheticSource(height=8, width=64, depths_um=(20.0,))
+        s = Session(self._cfg())
+        s.key("j")
+        it = iter(src.frames())
+        frames = [next(it) for _ in range(6)]
+        for f in frames[:2]:
+            s.process(f)                       # group 1 arms the lockin
+        assert s.jlockin and s.jscansave is not None
+        s.averages = 7                         # live-adjusted base
+        p = save_session(s, tmp_path / "jl.npz")
+
+        s2 = load_session(p)
+        assert s2.jlockin is True
+        assert s2.averages == 7
+        _np.testing.assert_allclose(_np.asarray(s2.jscansave),
+                                    _np.asarray(s.jscansave))
+        # the resumed session keeps producing subtracted displays
+        r = None
+        for f in frames[2:4]:
+            r = s2.process(f) or r
+        assert r is not None and r.sub_disp is not None
+
+    def test_old_checkpoint_without_new_keys_loads(self, tmp_path):
+        """Forward compatibility: a pre-round-5 archive (no jlockin /
+        jscansave / averages keys) restores with defaults intact."""
+        import numpy as _np
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils import checkpoint as ckpt
+        from fdoct_tpu.utils.checkpoint import load_session
+
+        s = Session(self._cfg())
+        payload = ckpt._payload(s)
+        for k in ("scalar_jlockin", "scalar_averages", "tensor_jscansave"):
+            payload.pop(k, None)
+        p = tmp_path / "old.npz"
+        _np.savez_compressed(p, **payload)
+        s2 = load_session(p)
+        assert s2.jlockin is False and s2.jscansave is None
+        assert s2.averages == s2.cfg.averages

@@ -18,10 +18,10 @@ _TENSORS = ("data_yb", "data_yp", "data_yd", "data_yr", "data_ys")
 #: cross-group state that may legitimately be absent (a session that never
 #: armed J-lockin has no jscansave); written only when present, restored
 #: only when stored — old checkpoints load unchanged
-_OPT_TENSORS = ("jscansave",)
+_OPT_TENSORS = ("jscansave", "manualaccum")
 _SCALARS = ("averagestoggle", "averages", "bscanthreshold", "exposure_us",
             "gain", "ascanat", "vertposROI", "widthROI", "indexi",
-            "manualindexi", "jlockin")
+            "manualindexi", "jlockin", "manualaccumcount")
 
 
 def _payload(session) -> dict:

@@ -228,3 +228,20 @@ class TestCheckpointJlockin:
         s2 = load_session(p)
         assert s2.jlockin is False and s2.jscansave is None
         assert s2.averages == s2.cfg.averages
+
+    def test_manual_averaging_accumulator_roundtrips(self, tmp_path):
+        """The manual-averaging accumulator spans 's' saves
+        (BscanFFT.cpp:1399-1477); a resume mid-accumulation continues the
+        SAME running sum."""
+        import numpy as _np
+        import jax.numpy as _jnp
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        s = Session(self._cfg())
+        s.manualaccum = _jnp.full_like(s.manualaccum, 2.5)
+        s.manualaccumcount = 3
+        p = save_session(s, tmp_path / "ma.npz")
+        s2 = load_session(p)
+        assert s2.manualaccumcount == 3
+        _np.testing.assert_allclose(_np.asarray(s2.manualaccum), 2.5)

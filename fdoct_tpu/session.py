@@ -1096,23 +1096,39 @@ class Session:
             self.sink.close()
 
 
+def _flatten_groups(stacked, groups, averages):
+    """(groups, averages, ...) scan output → (groups·averages, ...) the
+    ring-fill slicing expects, or None through."""
+    if stacked is None:
+        return None
+    return stacked.reshape((groups * averages,) + stacked.shape[2:])
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "groups", "averages", "method", "dark", "eps",
     "keep_frames", "keep_binned"))
 def _session_group_pipeline(raw, yb, yp, yd, threshold, calib, cfg,
                             groups, averages, method, dark, eps,
                             keep_frames=False, keep_binned=False):
-    """One dispatch for ``groups`` whole averaging groups: preprocess →
-    [dark subtract] → apodize ratio → fused A-scan magnitudes → per-group
-    accumulate → vmapped display chain.  The batched form of the reference
-    hot loop (BscanFFT.cpp:946-1255) the interactive Session rides in its
-    steady state.
+    """One dispatch for ``groups`` whole averaging groups: a ``lax.scan``
+    over groups, each iteration one preprocess → [dark subtract] →
+    apodize ratio → fused A-scan magnitudes → accumulate → display chain.
+    The batched form of the reference hot loop (BscanFFT.cpp:946-1255)
+    the interactive Session rides in its steady state.
+
+    Scan-over-groups, NOT one flat matmul over every frame: the flat form
+    keeps a groups×-larger f32 working set live between its stages, and
+    measured 20% slower at the flagship shape (0.172 vs 0.137 ms/group,
+    interleaved same-window differenced timing, BENCH.md round-5
+    scan-vs-flat note) — the same physics that makes bench.py's
+    scan-chained headline beat its batched/offline row's ratio.
 
     ``keep_frames`` / ``keep_binned`` additionally return the per-frame
     magnitudes / preprocessed frames so the saveframes /
     saveinterferograms ring buffers (BscanFFT.cpp:961-984) fill without
     leaving the fast path (round-5 VERDICT item 3).  Returns
-    (outputs, mags-or-None, binned-or-None)."""
+    (outputs, mags-or-None, binned-or-None) with the extras flattened to
+    (groups·averages, ...)."""
     from fdoct_tpu.pipeline import (apodize_ratio, ascan_mags, form_bscan,
                                     preprocess)
 
@@ -1120,41 +1136,51 @@ def _session_group_pipeline(raw, yb, yp, yd, threshold, calib, cfg,
         # webcam variant: color frames → channel select / sum
         from fdoct_tpu.ops.filters import channel_select
         raw = jax.vmap(lambda f: channel_select(f, cfg.channelnum))(raw)
-    y = preprocess(raw, cfg)
-    if dark:
-        y = y - yd                      # BscanDark.cpp:1269
-    yr = apodize_ratio(y, yb, yp, cfg)
-    mags = ascan_mags(yr, calib, method, cfg.matmul_precision)
-    msum = mags.reshape((groups, averages) + mags.shape[1:]).sum(axis=1)
-    outs = jax.vmap(
-        lambda m: form_bscan(m, cfg, averages, bscanthreshold=threshold,
-                             eps=eps))(msum)
-    return (outs, mags if keep_frames else None,
-            y if keep_binned else None)
+    g = raw.reshape((groups, averages) + raw.shape[1:])
+
+    def body(carry, fr):
+        y = preprocess(fr, cfg)
+        if dark:
+            y = y - yd                  # BscanDark.cpp:1269
+        yr = apodize_ratio(y, yb, yp, cfg)
+        mags = ascan_mags(yr, calib, method, cfg.matmul_precision)
+        outs = form_bscan(mags.sum(axis=0), cfg, averages,
+                          bscanthreshold=threshold, eps=eps)
+        return carry, (outs, mags if keep_frames else None,
+                       y if keep_binned else None)
+
+    _, (outs, mags, y) = jax.lax.scan(body, 0, g)
+    return (outs, _flatten_groups(mags, groups, averages),
+            _flatten_groups(y, groups, averages))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "groups", "averages", "eps", "keep_frames"))
 def _session_group_pipeline_int8(raw_u8, plan, threshold, cfg,
                                  groups, averages, eps, keep_frames=False):
-    """int8-direct batched group pipeline: two s8 MXU matmuls per batch
-    straight from the raw u8 frames (device-side bias shift), then the
-    vmapped display chain.  The background/pi/dark frames live folded
-    inside ``plan`` (fdoct_tpu.int8direct.Int8DirectPlan); measured 1.67x
-    the f32 fused path on v5e (BENCH.md round 3).  Returns
-    (outputs, per-frame mags or None) like :func:`_session_group_pipeline`
-    (the binned frames are not on this path — int8-direct does zero
+    """int8-direct batched group pipeline: a ``lax.scan`` over groups of
+    two s8 MXU matmuls straight from the raw u8 frames (device-side bias
+    shift) plus the display chain (scan-over-groups for the same measured
+    reason as :func:`_session_group_pipeline`).  The background/pi/dark
+    frames live folded inside ``plan``
+    (fdoct_tpu.int8direct.Int8DirectPlan); measured 1.67x the f32 fused
+    path on v5e (BENCH.md round 3).  Returns (outputs, per-frame mags or
+    None) — the binned frames are not on this path (int8-direct does zero
     elementwise work on the input; callers preprocess separately when
     saveinterferograms needs them)."""
     from fdoct_tpu.int8direct import reconstruct_int8_direct, shift_u8_to_s8
     from fdoct_tpu.pipeline import form_bscan
 
-    mags = reconstruct_int8_direct(shift_u8_to_s8(raw_u8), plan)
-    msum = mags.reshape((groups, averages) + mags.shape[1:]).sum(axis=1)
-    outs = jax.vmap(
-        lambda m: form_bscan(m, cfg, averages, bscanthreshold=threshold,
-                             eps=eps))(msum)
-    return outs, (mags if keep_frames else None)
+    g = raw_u8.reshape((groups, averages) + raw_u8.shape[1:])
+
+    def body(carry, fr):
+        mags = reconstruct_int8_direct(shift_u8_to_s8(fr), plan)
+        outs = form_bscan(mags.sum(axis=0), cfg, averages,
+                          bscanthreshold=threshold, eps=eps)
+        return carry, (outs, mags if keep_frames else None)
+
+    _, (outs, mags) = jax.lax.scan(body, 0, g)
+    return outs, _flatten_groups(mags, groups, averages)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

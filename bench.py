@@ -147,7 +147,10 @@ def main() -> None:
     @jax.jit
     def batched_groups(all_frames):
         # flat formulation: ONE matmul over every frame of every group,
-        # then a vmapped display chain (the offline / process_group path)
+        # then a vmapped display chain.  Kept as a COMPARISON row only —
+        # since round 5 Session.process_group scans over groups (this flat
+        # form measured 20% slower at the flagship shape, BENCH.md
+        # scan-vs-flat); the offline C-scan assembly remains flat-shaped
         mags = reconstruct(all_frames, background, pi_frame, calib, cfg,
                            method="fused")          # (g, BATCH, ROWS, NDISP)
         msum = mags.sum(axis=1)
@@ -292,11 +295,11 @@ def main() -> None:
             "int8_direct", int8_groups, G1, G2)
         int8_ascans = BATCH * ROWS / per_int8
 
-        # batched/offline form of the int8 path (the process_group /
-        # C-scan workload): ONE s8 matmul pair over every frame of every
-        # group + a vmapped display chain, which amortizes the per-group
-        # display launches that bound the scan shape (see BENCH.md
-        # display-epilogue note)
+        # flat/batched form of the int8 path (comparison row; the session
+        # scans over groups since round 5 — BENCH.md scan-vs-flat): ONE
+        # s8 matmul pair over every frame of every group + a vmapped
+        # display chain, which amortizes the per-group display launches
+        # that bound the scan shape (see BENCH.md display-epilogue note)
         @jax.jit
         def int8_batched(all_frames):
             m = reconstruct_int8_direct(shift_u8_to_s8(all_frames), plan)

@@ -19,9 +19,14 @@ _TENSORS = ("data_yb", "data_yp", "data_yd", "data_yr", "data_ys")
 #: armed J-lockin has no jscansave); written only when present, restored
 #: only when stored — old checkpoints load unchanged
 _OPT_TENSORS = ("jscansave", "manualaccum")
-_SCALARS = ("averagestoggle", "averages", "bscanthreshold", "exposure_us",
+_SCALARS = ("averagestoggle", "bscanthreshold", "exposure_us",
             "gain", "ascanat", "vertposROI", "widthROI", "indexi",
-            "manualindexi", "jlockin", "manualaccumcount")
+            "manualindexi")
+#: scalars added in round 5 — absent from older archives, restored only
+#: when stored.  Core _SCALARS stay REQUIRED: a missing scalar_indexi in
+#: a damaged archive must fail loudly, not silently resume with defaults
+#: and overwrite the previous run's saves.
+_OPT_SCALARS = ("averages", "jlockin", "manualaccumcount")
 
 
 def _payload(session) -> dict:
@@ -31,7 +36,7 @@ def _payload(session) -> dict:
         if v is not None:
             payload[f"tensor_{k}"] = np.asarray(v)
     payload.update({f"scalar_{k}": np.asarray(getattr(session, k))
-                    for k in _SCALARS})
+                    for k in _SCALARS + _OPT_SCALARS})
     payload["config_json"] = np.frombuffer(
         session.cfg.to_json().encode(), dtype=np.uint8)
     return payload
@@ -105,9 +110,18 @@ def load_session(path: str | Path, session=None, backend: str = "npz",
         if f"tensor_{k}" in keys:
             setattr(session, k, jnp.asarray(data[f"tensor_{k}"]))
     for k in _SCALARS:
+        v = data[f"scalar_{k}"][()]   # REQUIRED — loud KeyError if absent
+        setattr(session, k, type(getattr(session, k))(v))
+    for k in _OPT_SCALARS:
         if f"scalar_{k}" not in keys:
-            continue                  # older checkpoint: keep the default
+            continue                  # pre-round-5 archive: keep default
         v = data[f"scalar_{k}"][()]
-        cur = getattr(session, k)
-        setattr(session, k, type(cur)(v) if cur is not None else v)
+        setattr(session, k, type(getattr(session, k))(v))
+    # checkpoints represent group-boundary state; a restore into a LIVE
+    # session mid-group must restart the current accumulation (the same
+    # semantics as a live 'averages' change, session.apply_config) — a
+    # stale accum/indextemp against a restored averagestoggle would
+    # mis-normalize the next displayed B-scan
+    session.accum = jnp.zeros_like(session.accum)
+    session.indextemp = 0
     return session

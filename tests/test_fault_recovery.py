@@ -221,13 +221,52 @@ class TestCheckpointJlockin:
 
         s = Session(self._cfg())
         payload = ckpt._payload(s)
-        for k in ("scalar_jlockin", "scalar_averages", "tensor_jscansave"):
+        for k in ("scalar_jlockin", "scalar_averages",
+                  "scalar_manualaccumcount", "tensor_jscansave",
+                  "tensor_manualaccum"):
             payload.pop(k, None)
         p = tmp_path / "old.npz"
         _np.savez_compressed(p, **payload)
         s2 = load_session(p)
         assert s2.jlockin is False and s2.jscansave is None
         assert s2.averages == s2.cfg.averages
+        assert s2.manualaccumcount == 0
+
+    def test_missing_core_scalar_fails_loudly(self, tmp_path):
+        """A damaged archive missing a REQUIRED scalar (e.g. the save
+        counter) must refuse to load — silently resuming with indexi=0
+        would overwrite the previous run's saves."""
+        import numpy as _np
+        import pytest as _pytest
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils import checkpoint as ckpt
+        from fdoct_tpu.utils.checkpoint import load_session
+
+        s = Session(self._cfg())
+        payload = ckpt._payload(s)
+        payload.pop("scalar_indexi")
+        p = tmp_path / "damaged.npz"
+        _np.savez_compressed(p, **payload)
+        with _pytest.raises(KeyError):
+            load_session(p)
+
+    def test_restore_into_live_session_restarts_group(self, tmp_path):
+        """load_session(session=) mid-group: the restored averagestoggle
+        must not divide a stale partial accumulation (the live-'averages'
+        change semantics, session.apply_config)."""
+        import jax.numpy as _jnp
+        from fdoct_tpu.session import Session
+        from fdoct_tpu.utils.checkpoint import load_session, save_session
+
+        saved = Session(self._cfg())
+        saved.averagestoggle = 2
+        p = save_session(saved, tmp_path / "gb.npz")
+        live = Session(self._cfg())
+        live.indextemp = 3
+        live.accum = _jnp.full_like(live.accum, 9.0)
+        load_session(p, session=live)
+        assert live.indextemp == 0
+        assert float(_jnp.max(_jnp.abs(live.accum))) == 0.0
 
     def test_manual_averaging_accumulator_roundtrips(self, tmp_path):
         """The manual-averaging accumulator spans 's' saves

@@ -641,3 +641,18 @@ class TestAdvisorGuards:
         from fdoct_tpu.cli import _parse_mesh
         with pytest.raises(SystemExit, match="expected DxA"):
             _parse_mesh("fast")
+
+    def test_idle_timeout_nonpositive_waits(self):
+        """<= 0 disables the cap (operator-paced trigger workflows): the
+        iterator must keep blocking across arbitrarily long idle gaps."""
+        from fdoct_tpu.cli import _idle_timeout
+
+        class A:
+            idle_timeout = 0
+        class B:
+            idle_timeout = -1.0
+        assert _idle_timeout(A()) == float("inf")
+        assert _idle_timeout(B()) == float("inf")
+        class C:
+            idle_timeout = 5.5
+        assert _idle_timeout(C()) == 5.5

@@ -194,25 +194,35 @@ def main() -> None:
         ref_ratio_or_None); raises on inconsistent medians — an alongside
         row hitting a wild load window must not discard the whole bench
         (callers guard with try/except)."""
-        (t1, s1), (r1, _) = measure(fn, g1, pair_with=ref_groups)
-        (t2, s2), (r2, _) = measure(fn, g2, pair_with=ref_groups)
+        (t1, s1), (r1, rs1) = measure(fn, g1, pair_with=ref_groups)
+        (t2, s2), (r2, rs2) = measure(fn, g2, pair_with=ref_groups)
         if not (t2 > t1 > 0):
             print(f"warn: inconsistent {name} timings t({g1})={t1:.4f}s "
                   f"t({g2})={t2:.4f}s — refusing to report a nonsense "
                   f"metric", file=sys.stderr)
             raise RuntimeError(f"inconsistent {name} timings")
         per = (t2 - t1) / (g2 - g1)
-        if not (r2 > r1 > 0):
-            # an alongside row without its ratio is NOT publishable: a
-            # wild window once emitted a 614 M "int8_batched" raw row
-            # (0.007 ms/group, ~7x the physical ceiling) whose only tell
-            # was the missing ratio.  The ratio is what makes the row
-            # comparable; no ratio, no row.
-            print(f"warn: {name} ref timings inconsistent "
-                  f"(t({g1})={r1:.4f}s t({g2})={r2:.4f}s) — row dropped",
+        # an alongside row without a TRUSTWORTHY ratio is NOT publishable:
+        # a wild window once emitted a 614 M "int8_batched" raw row
+        # (0.007 ms/group, ~7x the physical ceiling) whose only tell was
+        # the missing ratio, and another published batched_ref_ratio=3.97
+        # when the ref's own differencing collapsed (an implied 0.022 ms
+        # "bare matmul pair").  Three checks: ref medians must difference
+        # positively, the ref samples must not be wildly spread, and the
+        # ratio must be physically plausible (the pipeline sits within
+        # [0.2, 3]x its own bare matmuls on every calm window measured).
+        if not (r2 > r1 > 0) or max(rs1, rs2) > 0.5:
+            print(f"warn: {name} ref timings untrustworthy "
+                  f"(t({g1})={r1:.4f}s t({g2})={r2:.4f}s, spreads "
+                  f"{rs1*100:.0f}%/{rs2*100:.0f}%) — row dropped",
                   file=sys.stderr)
-            raise RuntimeError(f"{name} ref timings inconsistent")
+            raise RuntimeError(f"{name} ref timings untrustworthy")
         ratio = per / ((r2 - r1) / (g2 - g1))
+        if not (0.2 <= ratio <= 3.0):
+            print(f"warn: {name} ratio {ratio:.2f} outside the physical "
+                  f"[0.2, 3] band — differenced ref collapsed; row "
+                  f"dropped", file=sys.stderr)
+            raise RuntimeError(f"{name} ratio implausible")
         print(f"info: {name} per-group {per*1e3:.3f} ms "
               f"(median of {REPEATS}; spread {s1*100:.1f}%/{s2*100:.1f}%; "
               f"ref ratio {ratio:.3f})", file=sys.stderr)

@@ -437,3 +437,37 @@ def test_sharded_median_and_normalize_together(cfg, setup):
                for f in frames)
     ref = form_bscan(jnp.asarray(mags), ccfg, averages=len(frames))
     assert np.allclose(np.asarray(db_sh), np.asarray(ref.bscandb), atol=1e-9)
+
+
+def test_median_halo_collective_traffic(cfg, setup):
+    """The mediann=3 mesh step's ONLY extra communication vs mediann=0 is
+    the halo exchange: 2 ppermutes of h=1 boundary-row blocks, counted
+    from the compiled HLO (the same accounting the scaling harness uses —
+    the module transfers to real chips)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from bench_scaling import collective_bytes
+
+    from fdoct_tpu.parallel.sharded import build_bscan_step
+
+    frames, bg, pi, calib = setup
+    mesh = make_mesh(4, 2)
+    shapes = jnp.asarray(frames), jnp.asarray(bg), jnp.asarray(pi)
+
+    def hlo(mcfg):
+        step = build_bscan_step(mesh, calib, mcfg, "fused", len(frames))
+        return step.lower(*shapes).compile().as_text()
+
+    base = collective_bytes(hlo(cfg))
+    halo = collective_bytes(hlo(cfg.replace(mediann=3)))
+    assert base.get("collective-permute", 0) == 0
+    # per shard body: 2 ppermutes of (b_loc, h, W) raw rows; the counter
+    # sums the per-shard program once.  b_loc = 8/4 = 2 frames, h = 1 row,
+    # W = 128 cols of uint8 → 2 * (2*1*128) = 512 B
+    b_loc = len(frames) // 4
+    expect = 2 * b_loc * 1 * cfg.width * 1          # u8 frames
+    assert halo.get("collective-permute", 0) == expect, halo
+    # everything else unchanged: same psum + pmin/pmax scalars
+    for op in ("all-reduce",):
+        assert halo.get(op, 0) == base.get(op, 0)

@@ -471,3 +471,28 @@ def test_median_halo_collective_traffic(cfg, setup):
     # everything else unchanged: same psum + pmin/pmax scalars
     for op in ("all-reduce",):
         assert halo.get(op, 0) == base.get(op, 0)
+
+
+def test_sharded_median_with_binning(cfg, setup):
+    """mediann + software binning compose on the mesh: the median halo
+    runs on RAW rows (preprocess order: median → bin, BscanFFT.cpp:952-958)
+    and the row binning stays shard-aligned because oph % n_ascan == 0
+    implies (H_loc % by) == 0.  Bit-match vs single-device."""
+    frames, bg, pi, calib = setup
+    # raw frames at 2x the binned geometry: H=32 raw rows → oph=16
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 250, (8, 32, 256)).astype(np.uint8)
+    bcfg = cfg.replace(width=256, height=32, binvalue=2, mediann=3)
+    bcalib = Calibration.create(bcfg)
+    bg2 = np.maximum(
+        rng.integers(80, 180, (16, 128)).astype(np.float64), 1.0)
+    pi2 = np.zeros_like(bg2)
+    mesh = make_mesh(2, 4)       # 4 'ascan' shards × 8 raw rows each
+    sharded = shard_frames(jnp.asarray(raw), mesh)
+    db_sh, _ = sharded_bscan_step(
+        sharded, jnp.asarray(bg2), jnp.asarray(pi2), bcalib, bcfg, mesh)
+    mags = reconstruct(jnp.asarray(raw), jnp.asarray(bg2), jnp.asarray(pi2),
+                       bcalib, bcfg, method="fused")
+    ref = form_bscan(mags.sum(0), bcfg, averages=len(raw))
+    np.testing.assert_allclose(np.asarray(db_sh), np.asarray(ref.bscandb),
+                               atol=1e-9)

@@ -481,3 +481,31 @@ class TestMeshVariants:
         # same physics through both paths (f32 psum reassociation only)
         assert mesh_plug.dispnm == _pytest.approx(ref_plug.dispnm, rel=0.05)
         assert mesh_plug.dispnm == _pytest.approx(amp_nm, rel=0.3)
+
+
+def test_mesh_int8_saveinterferograms_ring_parity():
+    """mesh + int8_direct + saveinterferograms: the binned ring frames
+    come from a standalone preprocess over the SHARDED batch (int8-direct
+    itself never preprocesses); contents must match the per-frame path."""
+    import jax.numpy as jnp
+    from fdoct_tpu.parallel import make_mesh
+    from fdoct_tpu.session import Session
+
+    cfg = _mesh_cfg(matmul_precision="int8_direct", saveinterferograms=True)
+    frames = _mesh_frames()
+    ref = Session(cfg)
+    for f in frames:
+        ref.process(f)
+    s = Session(cfg, mesh=make_mesh(4, 2))
+    calls = _spy_mesh(s)
+    s.process_group(frames)
+    assert calls, "mesh path was not used"
+    assert ref._i8plan is not None and s._i8plan is not None
+    assert s.zeroisactive == ref.zeroisactive
+    for rid in (0, 1):
+        for key in ("raw", "binned"):
+            a, b = ref._rings[rid][key], s._rings[rid][key]
+            assert len(a) == len(b), (rid, key)
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                           rtol=1e-6)

@@ -368,6 +368,12 @@ class CameraSource:
         SetQHYCCDParam key handlers (BscanFFT.cpp:1600-1624)."""
         if param not in CTRL_PARAMS:
             return  # unknown knobs are ignored, like an SDK without them
+        if param == "trigger":
+            # the pulse COUNTER is consumable state, not a knob: it must
+            # never enter _ctrl_state, or a daemon restart's re-assert
+            # would replay the whole cumulative count as spurious pulses.
+            # Pulses go through trigger() (a locked read-modify-write).
+            return self.trigger(int(value))
         with self._ctrl_lock:
             self._ctrl_state[param] = float(value)
             self.reader.set_ctrl(param, value)

@@ -352,3 +352,28 @@ class TestZeroCopyIngest:
             w.close()
             r1.close()
             r2.close()
+
+
+def test_set_param_trigger_never_reasserted(tmp_path):
+    """The trigger pulse COUNTER is consumable, not a knob: set_param must
+    route it through trigger() and keep it out of the restart re-assert
+    state — re-asserting a cumulative count after a daemon restart would
+    fire that many spurious pulses."""
+    from fdoct_tpu.sources.camera import CameraSource, RingWriter
+
+    ring = tmp_path / "trigring"
+    w = RingWriter(ring, 16, 8)
+    try:
+        src = CameraSource(ring, daemon_args=None, starve_timeout_s=0.5)
+        try:
+            src.set_param("exposure", 123)
+            src.set_param("trigger", 3)
+            assert "trigger" not in src._ctrl_state
+            assert src._ctrl_state["exposure"] == 123
+            assert src.reader.get_ctrl("trigger") == 3   # pulses DID fire
+            src.set_param("trigger", 2)
+            assert src.reader.get_ctrl("trigger") == 5   # incremented
+        finally:
+            src.close()
+    finally:
+        w.close()
